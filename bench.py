@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""Benchmark: full training-step throughput (rays/sec) at paper settings.
+
+Runs the complete fused train step — 1024 rays x 128 samples through the
+256-wide MLP, plus the reference-pair losses (tiled Chamfer over
+(540/4)x(960/4) = 32,400-point clouds, surface photometric reprojection) and
+the 4-group Adam update — on the available accelerator, exactly the workload
+of one reference `Trainer.train_step` (model/training.py:67-97).
+
+Prints ONE JSON line:
+  {"metric": "train_rays_per_sec", "value": N, "unit": "rays/s",
+   "vs_baseline": N / BASELINE}
+
+BASELINE_RAYS_PER_SEC: the reference implementation runs ~10 train
+iterations/sec x 1024 rays on a single modern NVIDIA GPU (estimated from its
+per-`print_every` timing line, reference train.py:218-222; no published
+number exists in-repo — see BASELINE.md). Revise when a measured figure is
+available.
+"""
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_RAYS_PER_SEC = 10240.0
+
+H, W = 540, 960
+N_RAYS = 1024
+N_SAMPLES = 128
+N_FRAMES = 8
+WARMUP = 5
+ITERS = 30
+
+
+def build():
+    from nope_nerf_tpu.config import DEFAULT_CONFIG, load_config
+    from nope_nerf_tpu.training.loop import build_params
+    from nope_nerf_tpu.training.trainer import (
+        init_train_state,
+        make_render_cfg,
+        make_train_step,
+    )
+
+    cfg = load_config(DEFAULT_CONFIG, default_path=None)
+    cfg["training"]["out_dir"] = "/tmp/bench_out"
+    cfg["_num_cams"] = N_FRAMES
+
+    rng = np.random.default_rng(0)
+
+    class _Scene:
+        N_imgs = N_FRAMES
+        K = np.array(
+            [[2 * 0.8, 0, 0, 0], [0, -2 * 0.9, 0, 0], [0, 0, -1, 0],
+             [0, 0, 0, 1]],
+            np.float32,
+        )
+        scale_mat = np.eye(4, dtype=np.float32)
+        c2ws = None
+
+    scene = _Scene()
+    params, init_c2w = build_params(cfg, scene, jax.random.PRNGKey(0))
+    state, _ = init_train_state(params)
+    step = make_train_step(cfg, make_render_cfg(cfg), init_c2w)
+
+    imgs = jnp.asarray(rng.uniform(size=(N_FRAMES, H, W, 3)), jnp.float32)
+    dpts = jnp.asarray(1.0 + rng.uniform(size=(N_FRAMES, H, W)), jnp.float32)
+    batch = {
+        "imgs": imgs,
+        "dpts": dpts,
+        "idx": jnp.int32(0),
+        "ref_idx": jnp.int32(1),
+        "camera_mat_gt": jnp.asarray(scene.K),
+        "scale_mat": jnp.asarray(scene.scale_mat),
+    }
+    scalars = {
+        "weights": {
+            "rgb_weight": np.float32(1.0),
+            "depth_weight": np.float32(0.04),
+            "pc_weight": np.float32(1.0),
+            "rgb_s_weight": np.float32(1.0),
+            "depth_consistency_weight": np.float32(0.0),
+            "weight_dist_1st_loss": np.float32(0.0),
+            "weight_dist_2nd_loss": np.float32(0.0),
+        },
+        "w_l1": np.float32(1.0),
+        "w_l2": np.float32(0.0),
+        "lrs": {g: np.float32(1e-3) for g in
+                ("nerf", "pose", "focal", "distortion")},
+    }
+    static = {"render_model": True, "use_ref": True, "use_rgb_s": True}
+    return state, step, batch, scalars, static
+
+
+def main():
+    state, step, batch, scalars, static = build()
+    key = jax.random.PRNGKey(0)
+    for i in range(WARMUP):
+        state, aux = step(state, batch, scalars, jax.random.fold_in(key, i),
+                          static)
+    jax.block_until_ready(state.params)
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        state, aux = step(
+            state, batch, scalars, jax.random.fold_in(key, WARMUP + i), static
+        )
+    jax.block_until_ready(state.params)
+    dt = time.perf_counter() - t0
+    rays_per_sec = ITERS * N_RAYS / dt
+    print(
+        json.dumps(
+            {
+                "metric": "train_rays_per_sec",
+                "value": round(rays_per_sec, 1),
+                "unit": "rays/s",
+                "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,51 @@
+"""Two-level YAML config system.
+
+Mirrors the reference's config surface (`dataloading/configloading.py:3-47`):
+a scene YAML is recursively merged over ``configs/default.yaml`` so the
+reference's per-scene config files work unmodified.
+"""
+from __future__ import annotations
+
+import os
+
+import yaml
+
+_PKG_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DEFAULT_CONFIG = os.path.join(_PKG_DIR, "configs", "default.yaml")
+
+
+def load_config(path: str, default_path: str | None = None) -> dict:
+    """Load a scene config merged over the defaults.
+
+    Args:
+        path: scene config YAML.
+        default_path: defaults YAML; falls back to the packaged
+            ``configs/default.yaml`` when None.
+    """
+    with open(path, "r") as f:
+        cfg_special = yaml.safe_load(f) or {}
+
+    if default_path is None:
+        default_path = DEFAULT_CONFIG
+    if default_path and os.path.exists(default_path):
+        with open(default_path, "r") as f:
+            cfg = yaml.safe_load(f) or {}
+    else:
+        cfg = {}
+
+    update_recursive(cfg, cfg_special)
+    return cfg
+
+
+def update_recursive(dict1: dict, dict2: dict) -> None:
+    """Recursively merge ``dict2`` into ``dict1`` (in place).
+
+    Same semantics as reference `dataloading/configloading.py:33-46`.
+    """
+    for k, v in dict2.items():
+        if k not in dict1:
+            dict1[k] = dict()
+        if isinstance(v, dict):
+            update_recursive(dict1[k], v)
+        else:
+            dict1[k] = v

@@ -1,0 +1,204 @@
+"""Training losses — pure, mask-weighted, static-shape.
+
+Re-design of ``Loss`` (`model/losses.py:16-218`).  Two structural changes for
+the TPU:
+
+* every term is a pure function of traced arrays — the weighted sum takes the
+  annealed weights as *traced scalars*, so the host-side annealing scheduler
+  (`model/training.py:187-211`) never triggers a recompile;
+* the reference's boolean-mask reductions become weighted sums with
+  identical values (sum(x*m)/sum(m) == x[m].mean()).
+
+The l1<->l2 rgb switch at ``scheduling_start + annealing_epochs``
+(`model/training.py:211`) is expressed as a traced convex pair
+(w_l1, w_l2) ∈ {(1,0), (0,1)} for the same reason.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..ops.chamfer import chamfer_loss
+from ..ops.ssim import ssim_loss_map
+
+
+def mse2psnr(mse):
+    """`model/common.py:623-630`."""
+    mse = jnp.maximum(mse, 1e-10)
+    return -10.0 * jnp.log10(mse)
+
+
+def rgb_full_loss(rgb_pred, rgb_gt, w_l1, w_l2):
+    """sum|Δ|/N (l1) or sumΔ²/N (l2), N = ray count.
+
+    `model/losses.py:27-32` with sum-reduction over the (N, 3) block divided
+    by N.  Both branches are computed and convex-combined by traced weights.
+    """
+    n = rgb_pred.shape[0]
+    l1 = jnp.sum(jnp.abs(rgb_pred - rgb_gt)) / n
+    l2 = jnp.sum((rgb_pred - rgb_gt) ** 2) / n
+    return w_l1 * l1 + w_l2 * l2
+
+
+def depth_loss_l1(depth_pred, depth_gt, valid_mask):
+    """Masked L1: sum(|Δ|·m)/sum(m).
+
+    Equals the reference's ``l1_loss(pred_masked, gt_masked)/len`` on the
+    dynamically-gathered valid rays (`model/losses.py:59-61`).
+    """
+    num = jnp.sum(jnp.abs(depth_pred - depth_gt) * valid_mask)
+    den = jnp.maximum(jnp.sum(valid_mask), 1.0)
+    return num / den
+
+
+def depth_loss_dpt(pred_depth, gt_depth, weight=None):
+    """Scale/shift-invariant depth loss (`model/losses.py:34-57`).
+
+    Median-centred, mean-abs-scaled normalisation of both maps, then MSE
+    (optionally weighted).
+    """
+    t_pred = jnp.median(pred_depth)
+    s_pred = jnp.mean(jnp.abs(pred_depth - t_pred))
+    t_gt = jnp.median(gt_depth)
+    s_gt = jnp.mean(jnp.abs(gt_depth - t_gt))
+    pred_n = (pred_depth - t_pred) / s_pred
+    gt_n = (gt_depth - t_gt) / s_gt
+    sq = (pred_n - gt_n) ** 2
+    if weight is not None:
+        return jnp.sum(sq * weight) / (jnp.sum(weight) + 1e-8)
+    return jnp.mean(sq)
+
+
+def dist_losses(t_list):
+    """Pose-translation smoothness (`model/losses.py:103-112`).
+
+    t_list: (N, 3) per-frame translations.
+    Returns (loss_dist_1st, loss_dist_2nd).
+    """
+    dist = t_list - jnp.roll(t_list, shift=1, axis=0)
+    dist = dist[1:]
+    # safe norm: zero-init translations would give nan gradients
+    dist = jnp.sqrt(jnp.maximum(jnp.sum(dist * dist, axis=1), 1e-24))  # (N-1,)
+    dist_diff = dist - jnp.roll(dist, shift=1)
+    dist_diff = dist_diff[1:]  # (N-2,)
+    return jnp.mean(dist), jnp.mean(dist_diff**2)
+
+
+def mean_on_mask(diff, valid_mask):
+    """sum over masked elements / count (`model/losses.py:77-85`).
+
+    diff (..., C); valid_mask (..., 1) float.
+    """
+    mask = jnp.broadcast_to(valid_mask, diff.shape)
+    den = jnp.maximum(jnp.sum(mask), 1.0)
+    return jnp.sum(diff * mask) / den
+
+
+def rgb_s_loss(rgb1, rgb2, valid_points, with_ssim=False):
+    """Surface-based photometric loss (`model/losses.py:150-157`).
+
+    rgb1/rgb2: (h, w, 3) sampled and reprojected colours; valid_points
+    (h, w, 1) float.
+    """
+    diff = jnp.clip(jnp.abs(rgb1 - rgb2), 0.0, 1.0)
+    if with_ssim:
+        smap = ssim_loss_map(rgb1, rgb2)
+        diff = 0.15 * diff + 0.85 * smap
+    return mean_on_mask(diff, valid_points)
+
+
+def depth_consistency_loss(d1_proj, d2, d2_proj=None, d1=None):
+    """`model/losses.py:122-126`."""
+    loss = jnp.sum(jnp.abs(d1_proj - d2)) / d1_proj.shape[1]
+    if d2_proj is not None:
+        loss = 0.5 * loss + 0.5 * jnp.sum(jnp.abs(d2_proj - d1)) / d2_proj.shape[1]
+    return loss
+
+
+def total_loss(
+    weights,
+    *,
+    rgb_pred=None,
+    rgb_gt=None,
+    depth_pred=None,
+    depth_gt=None,
+    depth_valid=None,
+    t_list=None,
+    X=None,
+    Y=None,
+    rgb_pc1=None,
+    rgb_pc1_proj=None,
+    valid_points=None,
+    d1_proj=None,
+    d2=None,
+    d2_proj=None,
+    d1=None,
+    w_l1=1.0,
+    w_l2=0.0,
+    with_ssim=False,
+    depth_loss_type="l1",
+    chamfer_block=2048,
+):
+    """Weighted sum of all terms (`model/losses.py:158-218`).
+
+    ``weights`` is a dict of traced scalars with the reference's keys
+    (rgb_weight, depth_weight, pc_weight, rgb_s_weight,
+    depth_consistency_weight, weight_dist_1st_loss, weight_dist_2nd_loss).
+
+    Unlike the reference, every requested term is computed unconditionally
+    (weight-gating of *computation* happens at trace time via the
+    ``rgb_pred is None``-style structural switches the trainer controls);
+    zero-weight terms the trainer chose to compute still contribute exact
+    zeros to the sum.
+    Returns a dict of scalars matching the reference's return_dict keys.
+    """
+    zero = jnp.zeros(())
+    rgb_loss = (
+        rgb_full_loss(rgb_pred, rgb_gt, w_l1, w_l2) if rgb_pred is not None else zero
+    )
+    if depth_pred is not None:
+        if depth_loss_type == "invariant":
+            depth_loss = depth_loss_dpt(depth_pred, depth_gt, depth_valid)
+        else:
+            depth_loss = depth_loss_l1(depth_pred, depth_gt, depth_valid)
+    else:
+        depth_loss = zero
+    if t_list is not None:
+        loss_dist_1st, loss_dist_2nd = dist_losses(t_list)
+    else:
+        loss_dist_1st = loss_dist_2nd = zero
+    pc = chamfer_loss(X, Y, block=chamfer_block) if X is not None else zero
+    rgb_s = (
+        rgb_s_loss(rgb_pc1, rgb_pc1_proj, valid_points, with_ssim)
+        if rgb_pc1 is not None
+        else zero
+    )
+    dc = (
+        depth_consistency_loss(d1_proj, d2, d2_proj, d1)
+        if d1_proj is not None
+        else zero
+    )
+    if rgb_pred is not None:
+        l2_mean = jnp.mean((rgb_pred - rgb_gt) ** 2)
+    else:
+        l2_mean = zero
+
+    loss = (
+        weights["rgb_weight"] * rgb_loss
+        + weights["depth_weight"] * depth_loss
+        + weights["weight_dist_1st_loss"] * loss_dist_1st
+        + weights["weight_dist_2nd_loss"] * loss_dist_2nd
+        + weights["pc_weight"] * pc
+        + weights["rgb_s_weight"] * rgb_s
+        + weights["depth_consistency_weight"] * dc
+    )
+    return {
+        "loss": loss,
+        "loss_rgb": rgb_loss,
+        "loss_depth": depth_loss,
+        "l2_mean": l2_mean,
+        "loss_dist_1st": loss_dist_1st,
+        "loss_dist_2nd": loss_dist_2nd,
+        "loss_pc": pc,
+        "loss_rgb_s": rgb_s,
+        "loss_depth_consistency": dc,
+    }

@@ -1,0 +1,97 @@
+"""Checkpoint IO: flattened-pytree npz with scalar sidecar.
+
+Replaces ``CheckpointIO`` (`model/checkpoints.py:9-130`).  Same logical
+layout: four independent streams (model / model_pose / model_focal /
+model_distortion — `train.py:249-259`), arbitrary scalar kwargs bundled with
+each save (epoch_it, it, loss_val_best, patient_count, scheduling_start),
+best-model backup, and numbered periodic backups.
+
+Format: a single ``.npz`` per stream holding '/'-joined pytree paths plus a
+JSON '__scalars__' entry — dependency-free, memory-mappable, and trivially
+shardable later (orbax can be slotted in behind the same interface).
+"""
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import jax
+import numpy as np
+
+
+def _flatten(tree, prefix=""):
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, f"{prefix}{k}/"))
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            out.update(_flatten(v, f"{prefix}{i}/"))
+    else:
+        out[prefix[:-1]] = np.asarray(tree)
+    return out
+
+
+def _unflatten(flat):
+    tree = {}
+    for path, v in flat.items():
+        parts = path.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return tree
+
+
+def save_pytree(path, tree, **scalars):
+    """Save a pytree + scalar kwargs. Atomic (tmp+rename)."""
+    flat = _flatten(jax.device_get(tree))
+    flat["__scalars__"] = np.frombuffer(
+        json.dumps(scalars).encode(), dtype=np.uint8
+    )
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, **flat)
+    os.replace(tmp, path)
+
+
+def load_pytree(path):
+    """-> (tree dict of np arrays, scalars dict). Raises FileNotFoundError."""
+    if not os.path.exists(path):
+        raise FileNotFoundError(path)
+    data = np.load(path)
+    scalars = {}
+    flat = {}
+    for k in data.files:
+        if k == "__scalars__":
+            scalars = json.loads(bytes(data[k]).decode())
+        else:
+            flat[k] = data[k]
+    return _unflatten(flat), scalars
+
+
+class CheckpointIO:
+    """Directory-scoped stream saver mirroring the reference surface."""
+
+    def __init__(self, checkpoint_dir):
+        self.checkpoint_dir = checkpoint_dir
+        os.makedirs(checkpoint_dir, exist_ok=True)
+
+    def save(self, filename, tree, **scalars):
+        save_pytree(os.path.join(self.checkpoint_dir, filename), tree, **scalars)
+
+    def load(self, filename):
+        """Load; FileNotFoundError lets callers start fresh (the reference
+        catches FileExistsError the same way, `train.py:64-67`)."""
+        if filename.startswith(("http://", "https://")):
+            raise NotImplementedError("URL checkpoints not supported")
+        return load_pytree(os.path.join(self.checkpoint_dir, filename))
+
+    def backup_model_best(self, filename="model_best.npz"):
+        """`model/checkpoints.py:43-53`."""
+        src = os.path.join(self.checkpoint_dir, filename)
+        if os.path.exists(src):
+            backup_dir = os.path.join(self.checkpoint_dir, "backup_model_best")
+            os.makedirs(backup_dir, exist_ok=True)
+            ts = len(os.listdir(backup_dir))
+            shutil.copy(src, os.path.join(backup_dir, f"{ts}_{filename}"))

@@ -1,0 +1,275 @@
+"""Training orchestration: the TPU equivalent of the reference's `train.py`.
+
+Host side: epoch loop, shuffling, ref-frame sampling, schedule state machine,
+checkpointing, metrics. Device side: one fused jitted step (see trainer.py).
+
+Mirrors `train.py:18-352`:
+* seeds 42 (`train.py:22-23`),
+* four checkpoint streams with resume of scheduler scalars (`train.py:61-153`),
+* per-epoch ATE/RPE + PSNR logging (`train.py:277-295`),
+* auto-scheduler / fixed MultiStep-equivalent decay (`train.py:297-344`),
+* `scheduling_mode == 'reset'` re-initialises the field at the phase switch
+  (`train.py:341-344`).
+"""
+from __future__ import annotations
+
+import os
+import random as pyrandom
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..dataloading.scene import get_scene
+from ..geometry.align import align_ate_c2b_use_a2b, compute_ate, compute_rpe
+from ..models.distortion import init_distortion_params
+from ..models.intrinsics import init_focal_params
+from ..models.nerf import init_nerf_params
+from ..models.pose import all_poses, init_pose_params
+from ..utils.logging import MetricsLogger, Throughput
+from .checkpoints import CheckpointIO
+from .scheduler import Scheduler, ScheduleState
+from .trainer import (
+    TrainState,
+    init_train_state,
+    make_render_cfg,
+    make_train_step,
+)
+from ..losses import mse2psnr
+
+
+def build_params(cfg, scene, key):
+    """Initialise the 4-group parameter pytree + init_c2w constant.
+
+    Mirrors `train.py:48-153` (model + LearnPose/LearnFocal/Learn_Distortion
+    construction incl. gt-focal init [K00, -K11], `train.py:136`).
+    """
+    n_views = scene.N_imgs
+    params = {"nerf": init_nerf_params(key, cfg)}
+    params["pose"] = init_pose_params(n_views)
+    if cfg["pose"]["init_focal_type"] == "gt":
+        init_focal = [scene.K[0, 0], -scene.K[1, 1]]
+    else:
+        init_focal = None
+    params["focal"] = init_focal_params(
+        cfg["pose"]["fx_only"], cfg["pose"]["focal_order"], init_focal
+    )
+    params["distortion"] = init_distortion_params(n_views)
+
+    init_c2w = None
+    if cfg["pose"]["learn_pose"] and cfg["pose"]["init_pose"]:
+        if cfg["pose"]["init_pose_type"] == "gt":
+            init_c2w = jnp.asarray(scene.c2ws)
+        elif cfg["pose"]["init_pose_type"] == "colmap":
+            init_c2w = jnp.asarray(scene.c2ws_colmap)
+    return params, init_c2w
+
+
+def scene_device_arrays(scene):
+    """Whole scene -> HBM-resident stacked arrays."""
+    imgs = jnp.asarray(scene.imgs)  # (N, H, W, 3)
+    if scene.dpt_depth is not None:
+        dpts = jnp.asarray(scene.dpt_depth)
+    else:
+        dpts = jnp.ones((scene.N_imgs, scene.H, scene.W), jnp.float32)
+    return imgs, dpts
+
+
+def restore(checkpoint_io, cfg, params):
+    """Try loading the four streams; missing files start fresh
+    (`train.py:64-67` semantics)."""
+    scalars = {}
+    streams = {
+        "nerf": cfg["training"]["load_dir"],
+        "pose": cfg["training"]["load_pose_dir"],
+        "focal": cfg["training"]["load_focal_dir"],
+        "distortion": cfg["training"]["load_distortion_dir"],
+    }
+    for group, fname in streams.items():
+        try:
+            tree, sc = checkpoint_io.load(fname)
+            params[group] = jax.tree.map(jnp.asarray, tree["params"])
+            if group == "nerf":
+                scalars = sc
+        except FileNotFoundError:
+            pass
+    return params, scalars
+
+
+def save_all(checkpoint_io, state, sched_state, cfg, suffix=""):
+    """Four logical streams (`train.py:249-259`)."""
+    sc = sched_state.to_dict()
+    checkpoint_io.save(f"model{suffix}.npz", {"params": state.params["nerf"]}, **sc)
+    if cfg["pose"]["learn_pose"]:
+        checkpoint_io.save(
+            f"model_pose{suffix}.npz", {"params": state.params["pose"]},
+            epoch_it=sc["epoch_it"], it=sc["it"],
+        )
+    if cfg["pose"]["learn_focal"]:
+        checkpoint_io.save(
+            f"model_focal{suffix}.npz", {"params": state.params["focal"]},
+            epoch_it=sc["epoch_it"], it=sc["it"],
+        )
+    if cfg["distortion"]["learn_distortion"]:
+        checkpoint_io.save(
+            f"model_distortion{suffix}.npz",
+            {"params": state.params["distortion"]},
+            epoch_it=sc["epoch_it"], it=sc["it"],
+        )
+
+
+def train(cfg, max_epochs=None, scene=None):
+    """Run training. ``max_epochs`` caps the loop for tests/smoke runs.
+
+    Returns (state, scheduler, scene) for downstream use.
+    """
+    np.random.seed(42)
+    pyrng = pyrandom.Random(42)
+    key = jax.random.PRNGKey(42)
+
+    out_dir = cfg["training"]["out_dir"]
+    os.makedirs(out_dir, exist_ok=True)
+    logger = MetricsLogger(os.path.join(out_dir, "logs"))
+
+    if scene is None:
+        scene = get_scene(cfg, mode=cfg["training"]["mode"])
+    imgs, dpts = scene_device_arrays(scene)
+    n_views = scene.N_imgs
+
+    cfg = dict(cfg)
+    cfg["_num_cams"] = n_views
+    render_cfg = make_render_cfg(cfg)
+
+    key, init_key = jax.random.split(key)
+    params, init_c2w = build_params(cfg, scene, init_key)
+
+    checkpoint_io = CheckpointIO(out_dir)
+    params, ck_scalars = restore(checkpoint_io, cfg, params)
+    sched_state = ScheduleState.from_dict(
+        ck_scalars, cfg["training"]["scheduling_start"]
+    )
+    sched = Scheduler(cfg, sched_state)
+
+    state, _ = init_train_state(params)
+    step_fn = make_train_step(cfg, render_cfg, init_c2w)
+
+    camera_mat_gt = jnp.asarray(scene.K)
+    scale_mat = jnp.asarray(scene.scale_mat)
+
+    print_every = cfg["training"]["print_every"]
+    checkpoint_every = cfg["training"]["checkpoint_every"]
+    backup_every = cfg["training"]["backup_every"]
+    eval_pose_every = cfg["training"]["eval_pose_every"]
+    eval_img_every = cfg["training"]["eval_img_every"]
+
+    gt_poses = scene.c2ws  # numpy (N, 4, 4) or None
+    throughput = Throughput(cfg["training"]["n_training_points"])
+
+    epoch_budget = max_epochs
+    t0b = time.time()
+    while sched_state.epoch_it < sched.total_epochs:
+        sched_state.epoch_it += 1
+        epoch = sched_state.epoch_it
+        if epoch_budget is not None and epoch >= epoch_budget:
+            break
+
+        weights = sched.weights(epoch)
+        w_l1, w_l2 = sched.rgb_loss_switch(epoch)
+        lrs = sched.lrs(epoch)
+        static = sched.static_flags(epoch)
+        scalars = {
+            "weights": {k: np.float32(v) for k, v in weights.items()},
+            "w_l1": np.float32(w_l1),
+            "w_l2": np.float32(w_l2),
+            "lrs": {k: np.float32(v) for k, v in lrs.items()},
+        }
+
+        order = np.random.permutation(n_views)
+        l2_epoch = []
+        pc_epoch = []
+        rgb_s_epoch = []
+        for idx in order:
+            sched_state.it += 1
+            it = sched_state.it
+            ref_idx = scene.sample_ref_idx(int(idx), pyrng)
+            batch = {
+                "imgs": imgs,
+                "dpts": dpts,
+                "idx": jnp.int32(idx),
+                "ref_idx": jnp.int32(ref_idx),
+                "camera_mat_gt": camera_mat_gt,
+                "scale_mat": scale_mat,
+            }
+            step_key = jax.random.fold_in(key, it)
+            state, aux = step_fn(state, batch, scalars, step_key, static)
+            throughput.tick()
+
+            if print_every > 0 and (it % print_every) == 0:
+                aux_host = jax.device_get(aux)
+                l2_epoch.append(float(aux_host["l2_mean"]))
+                pc_epoch.append(float(aux_host["loss_pc"]))
+                rgb_s_epoch.append(float(aux_host["loss_rgb_s"]))
+                rate = throughput.rate()
+                print(
+                    f"[Epoch {epoch:02d}] it={it:03d}, "
+                    f"loss={float(aux_host['loss']):.8f}, "
+                    f"time={time.time() - t0b:.4f}, rays/s={rate:.0f}"
+                )
+                t0b = time.time()
+                throughput.reset()
+                for tag, v in aux_host.items():
+                    logger.add_scalar(f"train/{tag}", float(np.asarray(v)), it)
+                logger.add_scalar("perf/rays_per_sec", rate, it)
+            else:
+                # cheap host pull of just the epoch-metric scalars
+                l2_epoch.append(float(aux["l2_mean"]))
+                pc_epoch.append(float(aux["loss_pc"]))
+                rgb_s_epoch.append(float(aux["loss_rgb_s"]))
+
+            if checkpoint_every > 0 and (it % checkpoint_every) == 0:
+                save_all(checkpoint_io, state, sched_state, cfg)
+            if backup_every > 0 and (it % backup_every) == 0:
+                save_all(checkpoint_io, state, sched_state, cfg, suffix=f"_{it}")
+
+        logger.add_scalar("train/loss_pc_epoch", float(np.mean(pc_epoch)), sched_state.it)
+        logger.add_scalar("train/loss_rgbs_epoch", float(np.mean(rgb_s_epoch)), sched_state.it)
+
+        # per-epoch pose accuracy (`train.py:277-290`)
+        if (
+            eval_pose_every > 0
+            and (epoch % eval_pose_every) == 0
+            and gt_poses is not None
+            and cfg["pose"]["learn_pose"]
+        ):
+            learned = np.asarray(
+                all_poses(
+                    state.params["pose"], init_c2w,
+                    cfg["pose"]["learn_R"], cfg["pose"]["learn_t"],
+                )
+            )
+            aligned = align_ate_c2b_use_a2b(learned, gt_poses)
+            ate = compute_ate(gt_poses, aligned)
+            rpe_t, rpe_r = compute_rpe(gt_poses, aligned)
+            logger.add_scalar("eval/ate_trans", ate, sched_state.it)
+            logger.add_scalar("eval/rpe_trans", rpe_t * 100, sched_state.it)
+            logger.add_scalar("eval/rpe_rot", np.rad2deg(rpe_r), sched_state.it)
+
+        psnr = float(mse2psnr(np.mean(l2_epoch)))
+        if eval_img_every > 0 and (epoch % eval_img_every) == 0:
+            logger.add_scalar("train/psnr", psnr, sched_state.it)
+
+        # plateau detection + LR logging (`train.py:297-352`)
+        switched = sched.update_plateau(epoch, psnr)
+        if switched and cfg["training"]["scheduling_mode"] == "reset":
+            key, reinit_key = jax.random.split(key)
+            new_nerf = init_nerf_params(reinit_key, cfg)
+            params2 = dict(state.params)
+            params2["nerf"] = new_nerf
+            state = TrainState(params=params2, opt_state=state.opt_state)
+        for g, v in sched.lrs(epoch).items():
+            logger.add_scalar(f"train/lr_{g}", v, sched_state.it)
+
+    save_all(checkpoint_io, state, sched_state, cfg)
+    logger.close()
+    return state, sched, scene

@@ -1,0 +1,361 @@
+"""Jitted training step: render + all losses + 4-group optimiser update.
+
+TPU-native redesign of ``Trainer`` (`model/training.py:14-378`) and the
+four-Adam optimisation (`train.py:58,99,117,140`):
+
+* **One param pytree** {'nerf', 'pose', 'focal', 'distortion'} differentiated
+  in a single ``jax.value_and_grad`` (the reference builds one autograd graph
+  and steps four optimisers — same math, one pytree here).
+* **One fused jit** per (static-flag) variant: pose/focal/distortion
+  application, ray sampling, rendering, the reference-pair point-cloud
+  branch, every loss, the Adam updates — no host round-trips inside a step.
+* **Traced schedule scalars.** Annealed loss weights, the l1/l2 switch and
+  all four learning rates enter as traced inputs, so the host-side
+  auto-scheduler (`train.py:297-344`) never triggers a recompile.
+* **Static-shape ref branch.** The frame-ordering conditional
+  (`model/training.py:296-313`) becomes `jnp.where` selects; the
+  invalid-reprojection masks stay as weights.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax import lax
+
+from ..geometry.rays import (
+    arange_pixels,
+    camera_mat_from_fxfy,
+    project_to_cam,
+    transform_to_world,
+)
+from ..losses import total_loss
+from ..models.distortion import distortion_scale_shift
+from ..models.intrinsics import focal_fxfy
+from ..models.pose import pose_c2w
+from ..ops.interp import grid_sample, resize_bilinear, resize_nearest
+from ..ops.rendering import render_rays
+
+_HI = lax.Precision.HIGHEST
+
+GROUPS = ("nerf", "pose", "focal", "distortion")
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+
+
+def make_optimizer(params):
+    """Per-group Adam direction (torch defaults b1=.9 b2=.999 eps=1e-8);
+    learning rates are applied inside the step from traced scalars, so the
+    auto-scheduler can change them freely (`train.py:326-340`)."""
+    tx = optax.multi_transform(
+        {g: optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8) for g in GROUPS},
+        param_labels={g: g for g in params},
+    )
+    return tx
+
+
+def init_train_state(params):
+    tx = make_optimizer(params)
+    return TrainState(params=params, opt_state=tx.init(params)), tx
+
+
+def _apply_distortion(depth, scale, shift, shift_first):
+    if shift_first:
+        return (depth + shift) * scale
+    return depth * scale + shift
+
+
+def build_camera_mat(params, cfg, camera_mat_gt):
+    """Learned-focal camera matrix or the gt one (`model/training.py:247-254`)."""
+    if cfg["pose"]["learn_focal"]:
+        fxfy = focal_fxfy(
+            params["focal"],
+            fx_only=cfg["pose"]["fx_only"],
+            order=cfg["pose"]["focal_order"],
+            req_grad=cfg["pose"]["update_focal"],
+        )
+        return camera_mat_from_fxfy(fxfy)
+    return camera_mat_gt
+
+
+def compute_loss(
+    params,
+    batch,
+    scalars,
+    rng,
+    *,
+    cfg,
+    static,
+    init_c2w=None,
+    render_cfg,
+    mesh=None,
+):
+    """Pure loss function — the heart of the framework.
+
+    Mirrors ``Trainer.compute_loss`` (`model/training.py:197-378`).
+
+    Args:
+        params: {'nerf','pose','focal','distortion'} pytree.
+        batch: dict of device arrays — the whole scene stays HBM-resident
+            and frames are gathered *inside* the jit (no host slicing):
+            imgs (N, H, W, 3), dpts (N, Hd, Wd), idx (), ref_idx (),
+            camera_mat_gt (4, 4), scale_mat (4, 4).
+        scalars: dict of traced schedule scalars:
+            weights {7 reference keys}, w_l1, w_l2.
+        rng: PRNG key.
+        cfg: full config dict (static).
+        static: dict of static booleans: render_model, use_ref.
+        init_c2w: optional (N, 4, 4) initial poses (delta-pose mode).
+        render_cfg: merged rendering+model dict for render_rays.
+    Returns:
+        (loss, aux dict)
+    """
+    idx = batch["idx"]
+    ref_idx = batch["ref_idx"]
+    img = batch["imgs"][idx]
+    depth_input = batch["dpts"][idx]
+    camera_mat_gt = batch["camera_mat_gt"]
+    scale_mat = batch["scale_mat"]
+    H, W, _ = img.shape
+
+    tcfg = cfg["training"]
+    pcfg = cfg["pose"]
+    n_points = tcfg["n_training_points"]
+    nl = tcfg["nearest_limit"]
+    num_cams = cfg["_num_cams"]
+
+    # ---- pose / distortion / intrinsics --------------------------------
+    if pcfg["learn_pose"]:
+        c2w = pose_c2w(params["pose"], idx, init_c2w,
+                       pcfg["learn_R"], pcfg["learn_t"])
+        world_mat = jnp.linalg.inv(c2w)
+    else:
+        world_mat = jnp.eye(4)
+
+    if cfg["distortion"]["learn_distortion"]:
+        scale_input, shift_input = distortion_scale_shift(
+            params["distortion"], idx, num_cams,
+            cfg["distortion"]["fix_scaleN"],
+            cfg["distortion"]["learn_scale"], cfg["distortion"]["learn_shift"],
+        )
+        depth_input = _apply_distortion(
+            depth_input, scale_input, shift_input, tcfg["shift_first"]
+        )
+    else:
+        scale_input = jnp.ones((1,))
+        shift_input = jnp.zeros((1,))
+
+    camera_mat = build_camera_mat(params, cfg, camera_mat_gt)
+
+    # ---- ray sampling ---------------------------------------------------
+    key_rays, key_noise = jax.random.split(rng)
+    ray_idx = jax.random.choice(key_rays, H * W, shape=(n_points,), replace=False)
+    if mesh is not None:
+        from ..parallel.mesh import shard_rays
+
+        ray_idx = shard_rays(ray_idx, mesh)
+    rgb_gt = img.reshape(-1, 3)[ray_idx]
+    _, p_full = arange_pixels((H, W))
+    p = p_full[ray_idx]
+
+    out = {}
+    aux = {}
+    if static["render_model"]:
+        # prior depth resized to image res, gathered at the rays
+        # (`model/network.py:22-25`)
+        depth_resized = resize_nearest(depth_input, (H, W)).reshape(-1)
+        d_rays = depth_resized[ray_idx]
+        out = render_rays(
+            params["nerf"], p, d_rays, camera_mat, world_mat, scale_mat,
+            render_cfg, rng=key_noise, add_noise=True, eval_mode=False,
+        )
+
+    # ---- reference-image branch (`model/training.py:280-366`) ----------
+    loss_kwargs = {}
+    if static["use_ref"]:
+        depth_ref = batch["dpts"][ref_idx]
+        ref_img = batch["imgs"][ref_idx]
+        c2w_ref = pose_c2w(params["pose"], ref_idx, init_c2w,
+                           pcfg["learn_R"], pcfg["learn_t"])
+        if cfg["distortion"]["learn_distortion"]:
+            scale_ref, shift_ref = distortion_scale_shift(
+                params["distortion"], ref_idx, num_cams,
+                cfg["distortion"]["fix_scaleN"],
+                cfg["distortion"]["learn_scale"],
+                cfg["distortion"]["learn_shift"],
+            )
+            depth_ref = _apply_distortion(
+                depth_ref, scale_ref, shift_ref, tcfg["shift_first"]
+            )
+        else:
+            scale_ref = jnp.ones((1,))
+            shift_ref = jnp.zeros((1,))
+        if tcfg["detach_ref_img"]:
+            c2w_ref = lax.stop_gradient(c2w_ref)
+            scale_ref = lax.stop_gradient(scale_ref)
+            depth_ref = lax.stop_gradient(depth_ref)
+        ref_Rt = jnp.linalg.inv(c2w_ref)
+
+        # frame ordering: pair is (earlier=1, later=2)
+        # (`model/training.py:296-313`) — static shapes via where-select
+        swap = idx >= (num_cams - 1)
+        d1 = jnp.where(swap, depth_ref, depth_input)
+        d2 = jnp.where(swap, depth_input, depth_ref)
+        img1 = jnp.where(swap, ref_img, img)
+        img2 = jnp.where(swap, img, ref_img)
+        rt_fwd = jnp.matmul(ref_Rt, jnp.linalg.inv(world_mat), precision=_HI)
+        rt_bwd = jnp.matmul(world_mat, jnp.linalg.inv(ref_Rt), precision=_HI)
+        Rt_rel_12 = jnp.where(swap, rt_bwd, rt_fwd)
+        R_rel_12 = Rt_rel_12[:3, :3]
+        t_rel_12 = Rt_rel_12[:3, 3]
+        scale2 = jnp.where(swap, scale_input, scale_ref)
+
+        ratio = tcfg["pc_ratio"]
+        hd, wd = depth_input.shape
+        sres = (int(hd / ratio), int(wd / ratio))
+        _, p_pc = arange_pixels(sres)
+        d1s = resize_nearest(d1, sres)
+        d2s = resize_nearest(d2, sres)
+        d1s = jnp.maximum(d1s, nl)
+        d2s = jnp.maximum(d2s, nl)
+        pc1 = transform_to_world(p_pc, d1s.reshape(-1), camera_mat)
+        pc2 = transform_to_world(p_pc, d2s.reshape(-1), camera_mat)
+        if mesh is not None:
+            from ..parallel.mesh import shard_rays
+
+            pc1 = shard_rays(pc1, mesh)
+            pc2 = shard_rays(pc2, mesh)
+
+        if static["use_rgb_s"]:
+            img1s = resize_bilinear(img1, sres)
+            img2s = resize_bilinear(img2, sres)
+            rgb_pc1 = grid_sample(img1s, p_pc, mode="bilinear",
+                                  align_corners=True)
+            pc1_for_rgb = (
+                lax.stop_gradient(pc1) if tcfg["detach_rgbs_scale"] else pc1
+            )
+            pc1_rot = (
+                jnp.matmul(pc1_for_rgb, R_rel_12.T, precision=_HI) + t_rel_12
+            )
+            # clamp points behind the near limit (`model/training.py:334-335`:
+            # the mask is expanded over all 3 coords)
+            invalid = -pc1_rot[:, 2:] < nl
+            pc1_rot = jnp.where(invalid, nl, pc1_rot)
+            p_reproj, valid = project_to_cam(pc1_rot, camera_mat)
+            rgb_pc1_proj = grid_sample(img2s, p_reproj, mode="bilinear",
+                                       align_corners=True)
+            loss_kwargs["rgb_pc1"] = rgb_pc1.reshape(sres[0], sres[1], 3)
+            loss_kwargs["rgb_pc1_proj"] = rgb_pc1_proj.reshape(sres[0], sres[1], 3)
+            loss_kwargs["valid_points"] = valid.astype(jnp.float32).reshape(
+                sres[0], sres[1], 1
+            )
+
+        pc1 = jnp.matmul(pc1, R_rel_12.T, precision=_HI) + t_rel_12
+        if tcfg["scale_pcs"]:
+            pc1 = pc1 / scale2
+            pc2 = pc2 / scale2
+        loss_kwargs["X"] = pc1
+        loss_kwargs["Y"] = pc2
+
+    # ---- assemble -------------------------------------------------------
+    depth_gt = out.get("depth_gt")
+    if static["render_model"] and tcfg["detach_gt_depth"]:
+        depth_gt = lax.stop_gradient(depth_gt)
+
+    t_list = params["pose"]["t"] if pcfg["learn_pose"] else None
+    loss_dict = total_loss(
+        scalars["weights"],
+        rgb_pred=out.get("rgb"),
+        rgb_gt=rgb_gt if static["render_model"] else None,
+        depth_pred=out.get("depth_pred"),
+        depth_gt=depth_gt,
+        depth_valid=out.get("valid_mask"),
+        t_list=t_list,
+        w_l1=scalars["w_l1"],
+        w_l2=scalars["w_l2"],
+        with_ssim=tcfg["with_ssim"],
+        depth_loss_type=tcfg["depth_loss_type"],
+        chamfer_block=cfg.get("tpu", {}).get("chamfer_block", 2048),
+        **loss_kwargs,
+    )
+    aux = dict(loss_dict)
+    aux["scale"] = scale_input[0]
+    aux["shift"] = shift_input[0]
+    return loss_dict["loss"], aux
+
+
+def _tree_scale_groups(updates, lrs):
+    """Multiply each top-level group's update by -lr_group."""
+    return {
+        g: jax.tree.map(lambda u: -lrs[g] * u, updates[g]) for g in updates
+    }
+
+
+def make_train_step(cfg, render_cfg, init_c2w=None, mesh=None):
+    """Build the jitted train step for this config.
+
+    Returns step(state, batch, scalars, rng, static) -> (state, aux).
+    ``static`` is a dict of the runtime-static flags (render_model,
+    use_ref, use_rgb_s) — flipping them mid-run costs one recompile, which
+    is exactly when the reference switches its Python branches
+    (`model/training.py:216-217`).
+
+    With ``mesh``, per-ray/per-point tensors are sharded over the mesh's ray
+    axis and XLA inserts the gradient all-reduce (see parallel/mesh.py).
+    """
+    tcfg = cfg["training"]
+    wd = tcfg.get("weight_decay", 0.0) or 0.0
+
+    def loss_fn(params, batch, scalars, rng, static):
+        return compute_loss(
+            params, batch, scalars, rng,
+            cfg=cfg, static=static, init_c2w=init_c2w, render_cfg=render_cfg,
+            mesh=mesh,
+        )
+
+    @functools.partial(jax.jit, static_argnames=("static",))
+    def step(state, batch, scalars, rng, static):
+        tx = make_optimizer(state.params)
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, scalars, rng, dict(static)
+        )
+        if wd > 0.0:
+            # torch Adam weight_decay adds wd*param to the gradient
+            grads = {
+                g: (
+                    jax.tree.map(lambda gr, p: gr + wd * p, grads[g],
+                                 state.params[g])
+                    if g == "nerf"
+                    else grads[g]
+                )
+                for g in grads
+            }
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        updates = _tree_scale_groups(updates, scalars["lrs"])
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params=params, opt_state=opt_state), aux
+
+    def run(state, batch, scalars, rng, static):
+        return step(state, batch, scalars, rng, tuple(sorted(static.items())))
+
+    return run
+
+
+def make_render_cfg(cfg):
+    """Merge the rendering + model config groups for render_rays."""
+    rc = dict(cfg["rendering"])
+    rc.update(
+        {
+            "occ_activation": cfg["model"]["occ_activation"],
+            "pos_enc_levels": cfg["model"]["pos_enc_levels"],
+            "dir_enc_levels": cfg["model"]["dir_enc_levels"],
+            "hidden_dim": cfg["model"]["hidden_dim"],
+        }
+    )
+    return rc

@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""DPT depth preprocessing CLI — equivalent of the reference's
+`preprocess/dpt_depth.py`.
+
+Runs the (frozen) DPT-hybrid depth network over every frame and saves
+``dpt/depth_<name>.npz`` (+ preview png), the priors later consumed by
+training (`dataloading/common.py:289-315`).
+
+TPU design: frames are batched through one jitted `vmap`'d forward; with more
+than one chip the frame batch is sharded over the mesh.
+
+Weights: convert the published checkpoint first —
+  python tools/convert_dpt.py dpt_hybrid-midas-501f0c75.pt dpt_hybrid.npz
+and point depth.path at the npz.
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nope_nerf_tpu.config import DEFAULT_CONFIG, load_config
+from nope_nerf_tpu.dataloading.scene import get_scene
+from nope_nerf_tpu.models.dpt import (
+    apply_dpt_batched,
+    dpt_input_transform,
+    load_dpt,
+)
+
+
+def main(cfg):
+    assert cfg["depth"]["type"] == "DPT", "set depth.type: DPT for preprocessing"
+    weights_path = cfg["depth"]["path"]
+    if not os.path.exists(weights_path):
+        raise FileNotFoundError(
+            f"DPT weights not found at {weights_path}; convert the published "
+            "checkpoint with tools/convert_dpt.py first"
+        )
+    params = load_dpt(weights_path)
+
+    scene = get_scene(cfg, mode=cfg["training"].get("mode", "all"))
+    load_dir = os.path.join(
+        cfg["dataloading"]["path"], cfg["dataloading"]["scene"][0]
+    )
+    crop_size = cfg["dataloading"]["crop_size"]
+    depth_net = cfg["dataloading"]["depth_net"]
+    if crop_size != 0:
+        depth_net = f"{depth_net}_{crop_size}"
+    out_dir = os.path.join(load_dir, depth_net)
+    os.makedirs(out_dir, exist_ok=True)
+
+    scale = cfg["depth"]["scale"]
+    shift = cfg["depth"]["shift"]
+    invert = cfg["depth"]["invert"]
+    non_negative = cfg["depth"]["non_negative"]
+
+    fwd = jax.jit(
+        lambda imgs: apply_dpt_batched(
+            params, imgs, scale=scale, shift=shift, invert=invert,
+            non_negative=non_negative,
+        )
+    )
+
+    import imageio
+
+    # all frames share one resolution -> one compiled shape, batched
+    batch = []
+    names = []
+    bs = 4
+    for i in range(scene.N_imgs):
+        batch.append(dpt_input_transform(scene.imgs[i]))
+        names.append(scene.img_list[i].split(".")[0])
+        if len(batch) == bs or i == scene.N_imgs - 1:
+            depths = np.asarray(fwd(jnp.asarray(np.stack(batch))))
+            for d, name in zip(depths, names[-len(batch):]):
+                np.savez(os.path.join(out_dir, f"depth_{name}.npz"),
+                         pred=d.astype(np.float32))
+                vis = (255.0 / max(d.max(), 1e-8) * d).astype(np.uint8)
+                imageio.imwrite(
+                    os.path.join(out_dir, f"depth_{name}.png"), vis
+                )
+                print(f"depth_{name}.npz written")
+            batch = []
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser(description="DPT depth preprocessing.")
+    parser.add_argument("config", type=str, help="Path to config file.")
+    args = parser.parse_args()
+    cfg = load_config(args.config, DEFAULT_CONFIG)
+    main(cfg)
