@@ -33,6 +33,7 @@ from .scheduler import Scheduler, ScheduleState
 from .trainer import (
     TrainState,
     init_train_state,
+    make_epoch_step,
     make_render_cfg,
     make_train_step,
 )
@@ -152,6 +153,9 @@ def train(cfg, max_epochs=None, scene=None):
     sched = Scheduler(cfg, sched_state)
 
     state, _ = init_train_state(params)
+    epoch_scan = cfg.get("tpu", {}).get("epoch_scan", True)
+    if epoch_scan:
+        epoch_fn = make_epoch_step(cfg, render_cfg, init_c2w)
     step_fn = make_train_step(cfg, render_cfg, init_c2w)
 
     camera_mat_gt = jnp.asarray(scene.K)
@@ -160,6 +164,8 @@ def train(cfg, max_epochs=None, scene=None):
     print_every = cfg["training"]["print_every"]
     checkpoint_every = cfg["training"]["checkpoint_every"]
     backup_every = cfg["training"]["backup_every"]
+    visualize_every = cfg["training"]["visualize_every"]
+    render_path = os.path.join(out_dir, "rendering")
     eval_pose_every = cfg["training"]["eval_pose_every"]
     eval_img_every = cfg["training"]["eval_img_every"]
 
@@ -186,30 +192,33 @@ def train(cfg, max_epochs=None, scene=None):
         }
 
         order = np.random.permutation(n_views)
-        l2_epoch = []
-        pc_epoch = []
-        rgb_s_epoch = []
-        for idx in order:
-            sched_state.it += 1
-            it = sched_state.it
-            ref_idx = scene.sample_ref_idx(int(idx), pyrng)
-            batch = {
+        ref_order = np.array(
+            [scene.sample_ref_idx(int(i), pyrng) for i in order], np.int32
+        )
+
+        if epoch_scan:
+            # whole epoch in ONE device dispatch (lax.scan over steps):
+            # amortises the ~100 ms tunnel dispatch and syncs once per epoch
+            it0 = sched_state.it + 1
+            epoch_key = jax.random.fold_in(key, epoch)
+            scene_arrays = {
                 "imgs": imgs,
                 "dpts": dpts,
-                "idx": jnp.int32(idx),
-                "ref_idx": jnp.int32(ref_idx),
                 "camera_mat_gt": camera_mat_gt,
                 "scale_mat": scale_mat,
             }
-            step_key = jax.random.fold_in(key, it)
-            state, aux = step_fn(state, batch, scalars, step_key, static)
-            throughput.tick()
-
-            if print_every > 0 and (it % print_every) == 0:
-                aux_host = jax.device_get(aux)
-                l2_epoch.append(float(aux_host["l2_mean"]))
-                pc_epoch.append(float(aux_host["loss_pc"]))
-                rgb_s_epoch.append(float(aux_host["loss_rgb_s"]))
+            state, aux_mean, aux_last = epoch_fn(
+                state, scene_arrays, jnp.asarray(order, jnp.int32),
+                jnp.asarray(ref_order), scalars, epoch_key, static,
+            )
+            sched_state.it += n_views
+            it = sched_state.it
+            throughput.tick(n_views)
+            aux_host = jax.device_get(aux_mean)
+            l2_epoch = [float(aux_host["l2_mean"])]
+            pc_epoch = [float(aux_host["loss_pc"])]
+            rgb_s_epoch = [float(aux_host["loss_rgb_s"])]
+            if print_every > 0 and (it // n_views) % max(print_every // max(n_views, 1), 1) == 0:
                 rate = throughput.rate()
                 print(
                     f"[Epoch {epoch:02d}] it={it:03d}, "
@@ -221,16 +230,71 @@ def train(cfg, max_epochs=None, scene=None):
                 for tag, v in aux_host.items():
                     logger.add_scalar(f"train/{tag}", float(np.asarray(v)), it)
                 logger.add_scalar("perf/rays_per_sec", rate, it)
-            else:
-                # cheap host pull of just the epoch-metric scalars
-                l2_epoch.append(float(aux["l2_mean"]))
-                pc_epoch.append(float(aux["loss_pc"]))
-                rgb_s_epoch.append(float(aux["loss_rgb_s"]))
-
-            if checkpoint_every > 0 and (it % checkpoint_every) == 0:
+            if checkpoint_every > 0 and ((it0 - 1) // checkpoint_every) != (it // checkpoint_every):
                 save_all(checkpoint_io, state, sched_state, cfg)
-            if backup_every > 0 and (it % backup_every) == 0:
+            if backup_every > 0 and ((it0 - 1) // backup_every) != (it // backup_every):
                 save_all(checkpoint_io, state, sched_state, cfg, suffix=f"_{it}")
+            if visualize_every > 0 and ((it0 - 1) // visualize_every) != (it // visualize_every):
+                from .visualize import render_visdata
+
+                render_visdata(
+                    state, cfg, render_cfg, init_c2w, scene,
+                    cfg["training"]["vis_resolution"], it,
+                    os.path.join(render_path, "%04d_vis" % it),
+                )
+        else:
+            l2_epoch = []
+            pc_epoch = []
+            rgb_s_epoch = []
+            for idx, ref_idx in zip(order, ref_order):
+                sched_state.it += 1
+                it = sched_state.it
+                batch = {
+                    "imgs": imgs,
+                    "dpts": dpts,
+                    "idx": jnp.int32(idx),
+                    "ref_idx": jnp.int32(ref_idx),
+                    "camera_mat_gt": camera_mat_gt,
+                    "scale_mat": scale_mat,
+                }
+                step_key = jax.random.fold_in(key, it)
+                state, aux = step_fn(state, batch, scalars, step_key, static)
+                throughput.tick()
+
+                if print_every > 0 and (it % print_every) == 0:
+                    aux_host = jax.device_get(aux)
+                    l2_epoch.append(float(aux_host["l2_mean"]))
+                    pc_epoch.append(float(aux_host["loss_pc"]))
+                    rgb_s_epoch.append(float(aux_host["loss_rgb_s"]))
+                    rate = throughput.rate()
+                    print(
+                        f"[Epoch {epoch:02d}] it={it:03d}, "
+                        f"loss={float(aux_host['loss']):.8f}, "
+                        f"time={time.time() - t0b:.4f}, rays/s={rate:.0f}"
+                    )
+                    t0b = time.time()
+                    throughput.reset()
+                    for tag, v in aux_host.items():
+                        logger.add_scalar(f"train/{tag}", float(np.asarray(v)), it)
+                    logger.add_scalar("perf/rays_per_sec", rate, it)
+                else:
+                    l2_epoch.append(float(aux["l2_mean"]))
+                    pc_epoch.append(float(aux["loss_pc"]))
+                    rgb_s_epoch.append(float(aux["loss_rgb_s"]))
+
+                if checkpoint_every > 0 and (it % checkpoint_every) == 0:
+                    save_all(checkpoint_io, state, sched_state, cfg)
+                if backup_every > 0 and (it % backup_every) == 0:
+                    save_all(checkpoint_io, state, sched_state, cfg,
+                             suffix=f"_{it}")
+                if visualize_every > 0 and (it % visualize_every) == 0:
+                    from .visualize import render_visdata
+
+                    render_visdata(
+                        state, cfg, render_cfg, init_c2w, scene,
+                        cfg["training"]["vis_resolution"], it,
+                        os.path.join(render_path, "%04d_vis" % it),
+                    )
 
         logger.add_scalar("train/loss_pc_epoch", float(np.mean(pc_epoch)), sched_state.it)
         logger.add_scalar("train/loss_rgbs_epoch", float(np.mean(rgb_s_epoch)), sched_state.it)

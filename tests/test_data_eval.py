@@ -1,0 +1,213 @@
+"""Data-layer and evaluation-stack tests: LLFF roundtrip through the on-disk
+layout, eval-image metrics, test-time pose opt, DPT shapes, vis export."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nope_nerf_tpu.utils.synthetic import SyntheticScene, tiny_config
+
+
+@pytest.fixture(scope="module")
+def disk_scene(tmp_path_factory):
+    """Synthetic scene written to disk in the reference layout, then loaded
+    back through the real LLFF pipeline."""
+    root = tmp_path_factory.mktemp("data")
+    out = str(root / "synth")
+    import subprocess
+    import sys
+
+    # in-process to avoid a second 1-core python startup
+    sys.argv = ["x", out, "--frames", "5", "--height", "24", "--width", "32"]
+    from tools.make_synthetic_dataset import main as gen
+
+    gen()
+    return out
+
+
+class TestLLFFPipeline:
+    def test_scene_loads(self, disk_scene):
+        from nope_nerf_tpu.dataloading.scene import SceneData
+
+        scene = SceneData(
+            path=os.path.dirname(disk_scene),
+            scene_name=[os.path.basename(disk_scene)],
+            mode="train",
+            spherify=False,
+            resize_factor=None,
+            sample_rate=8,
+        )
+        assert scene.imgs.shape[1:] == (24, 32, 3)
+        assert scene.dpt_depth is not None
+        assert scene.c2ws.shape == (scene.N_imgs, 4, 4)
+        # K convention
+        assert scene.K[2, 2] == -1 and scene.K[1, 1] < 0
+
+    def test_train_test_split(self, disk_scene):
+        from nope_nerf_tpu.dataloading.scene import SceneData
+
+        kw = dict(
+            path=os.path.dirname(disk_scene),
+            scene_name=[os.path.basename(disk_scene)],
+            spherify=False, resize_factor=None, sample_rate=2,
+        )
+        tr = SceneData(mode="train", **kw)
+        ev = SceneData(mode="eval", **kw)
+        # sample_rate=2: test = frames 1,3 of 5 -> 2 test, 3 train
+        assert ev.N_imgs == 2 and tr.N_imgs == 3
+        assert set(tr.i_train) & set(ev.i_test) == set()
+
+    def test_minify_cache(self, disk_scene):
+        from nope_nerf_tpu.dataloading.scene import SceneData
+
+        scene = SceneData(
+            path=os.path.dirname(disk_scene),
+            scene_name=[os.path.basename(disk_scene)],
+            mode="train", spherify=False, resize_factor=2, sample_rate=8,
+        )
+        assert os.path.isdir(os.path.join(disk_scene, "images_2"))
+        assert scene.imgs.shape[1:] == (12, 16, 3)
+
+    def test_roundtrip_poses_consistent(self, disk_scene):
+        """Images rendered at the written poses must still photometrically
+        match after the loader's recenter+rescale (a NeRF in the new frame)."""
+        from nope_nerf_tpu.dataloading.scene import SceneData
+
+        scene = SceneData(
+            path=os.path.dirname(disk_scene),
+            scene_name=[os.path.basename(disk_scene)],
+            mode="train", spherify=False, resize_factor=None, sample_rate=8,
+        )
+        # relative poses between frames are preserved up to a global
+        # similarity: check pairwise translation distance RATIOS
+        src = SyntheticScene(n_frames=5, hw=(24, 32), num_points=16)
+        t_new = scene.c2ws[:, :3, 3]
+        t_old = src.c2ws[: scene.N_imgs, :3, 3]
+        d_new = np.linalg.norm(t_new[0] - t_new[-1])
+        d_old = np.linalg.norm(t_old[0] - t_old[-1])
+        ratios = []
+        for i in range(1, scene.N_imgs):
+            a = np.linalg.norm(t_new[0] - t_new[i]) / d_new
+            b = np.linalg.norm(t_old[0] - t_old[i]) / d_old
+            ratios.append(abs(a - b))
+        assert max(ratios) < 1e-3
+
+
+class TestEvalStack:
+    @pytest.fixture(scope="class")
+    def scene(self):
+        return SyntheticScene(n_frames=4, hw=(16, 20), num_points=16)
+
+    def test_eval_image_perfect_teacher(self, scene, tmp_path):
+        """Rendering with the teacher params must reproduce the teacher image
+        (PSNR very high, SSIM ~1)."""
+        from nope_nerf_tpu.evaluation.eval_images import eval_image
+
+        world_mat = np.linalg.inv(scene.c2ws[0])
+        out = eval_image(
+            scene.teacher, scene.teacher_render_cfg, (16, 20), scene.K,
+            world_mat, np.eye(4, dtype=np.float32), scene.imgs[0],
+            render_dir=str(tmp_path), img_idx=0, chunk=320,
+        )
+        assert out["psnr"] > 40
+        assert out["ssim"] > 0.99
+        assert os.path.exists(os.path.join(str(tmp_path), "img_out",
+                                           "0000.png"))
+
+    def test_pose_opt_recovers_perturbation(self, scene):
+        """Test-time pose optimisation must reduce photometric error from a
+        perturbed init (`evaluation/eval.py:117-133` protocol)."""
+        from nope_nerf_tpu.evaluation.pose_opt import optimize_eval_poses
+        from nope_nerf_tpu.ops.rendering import render_rays
+        from nope_nerf_tpu.geometry.rays import arange_pixels
+
+        # perturb frame 0's pose enough to visibly change the rendering
+        from scipy.spatial.transform import Rotation
+
+        init = scene.c2ws[:1].copy()
+        init[0, :3, :3] = (
+            Rotation.from_rotvec([0.0, 0.15, 0.0]).as_matrix()
+            @ init[0, :3, :3]
+        )
+        init[0, :3, 3] += np.array([0.3, 0.1, -0.2])
+        eval_imgs = jnp.asarray(scene.imgs[:1])
+
+        def mse_at(c2w):
+            _, p = arange_pixels((16, 20))
+            out = render_rays(
+                scene.teacher, p, jnp.ones(320), jnp.asarray(scene.K),
+                jnp.asarray(np.linalg.inv(c2w)), jnp.eye(4),
+                scene.teacher_render_cfg, add_noise=False, eval_mode=True,
+            )
+            return float(jnp.mean((out["rgb"] - eval_imgs[0].reshape(-1, 3)) ** 2))
+
+        mse_before = mse_at(init[0])
+        cfg = {"_num_cams": 1}
+        opt_c2ws, _ = optimize_eval_poses(
+            scene.teacher, scene.K, cfg, scene.teacher_render_cfg, eval_imgs,
+            np.eye(4, dtype=np.float32), init, num_epoch=150, lr=1e-3,
+            n_points=128,
+        )
+        mse_after = mse_at(opt_c2ws[0])
+        # low-texture synthetic scene -> small photometric gradients; 150
+        # epochs reliably gives ~0.65x (full protocol runs 1000)
+        assert mse_after < mse_before * 0.8, (mse_before, mse_after)
+
+    def test_init_eval_poses_methods(self, scene):
+        from nope_nerf_tpu.evaluation.pose_opt import init_eval_poses
+
+        learned = scene.c2ws.astype(np.float64)
+        gt_eval = scene.c2ws[:1]
+        for method in ("pre", "scale", "ate", "none"):
+            out = init_eval_poses(method, gt_eval, learned, learned,
+                                  sample_rate=8, n_eval=1)
+            if method == "none":
+                assert out is None
+            else:
+                assert np.asarray(out).shape[-2:] == (4, 4)
+
+    def test_depth_metrics(self):
+        from nope_nerf_tpu.evaluation.metrics import (
+            compute_depth_errors,
+            median_scaled_depth_errors,
+        )
+
+        gt = np.array([1.0, 2.0, 4.0])
+        errs = compute_depth_errors(gt, gt)
+        assert errs[0] == 0 and errs[4] == 1.0  # abs_rel 0, a1 100%
+        mean_errs, ratio = median_scaled_depth_errors([gt], [gt * 2.0])
+        assert abs(ratio - 0.5) < 1e-9
+        assert mean_errs[0] < 1e-9
+
+    def test_vis_export(self, scene, tmp_path):
+        from nope_nerf_tpu.utils.vis import export_camera_frustums
+
+        ply = export_camera_frustums(
+            str(tmp_path / "f.ply"), [scene.c2ws], colors=[(255, 0, 0)]
+        )
+        txt = open(ply).read()
+        assert "element vertex" in txt and "element edge" in txt
+        n_vertices = scene.N_imgs * 5
+        assert f"element vertex {n_vertices}" in txt
+
+
+class TestDPT:
+    def test_shapes_and_finite(self):
+        from nope_nerf_tpu.models.dpt import apply_dpt, init_dpt_params
+
+        params = init_dpt_params(jax.random.PRNGKey(0))
+        img = jnp.zeros((64, 96, 3))
+        depth = apply_dpt(params, img)
+        assert depth.shape == (64, 96)
+        assert np.isfinite(np.asarray(depth)).all()
+        assert (np.asarray(depth) > 0).all()  # 1/(scale·relu+shift) > 0
+
+    def test_input_transform(self, rng):
+        from nope_nerf_tpu.models.dpt import dpt_input_transform
+
+        img = rng.uniform(size=(480, 640, 3)).astype(np.float32)
+        out = dpt_input_transform(img)
+        assert out.shape[0] % 32 == 0 and out.shape[1] % 32 == 0
+        assert abs(out.mean()) < 1.0  # normalised around 0

@@ -1,0 +1,109 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh (SURVEY.md §4d):
+sharded training step must match the single-device step to tolerance, and the
+driver entry points must compile and run."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nope_nerf_tpu.parallel.mesh import make_ray_mesh, shard_train_step
+from nope_nerf_tpu.training.loop import build_params, scene_device_arrays
+from nope_nerf_tpu.training.trainer import (
+    init_train_state,
+    make_render_cfg,
+    make_train_step,
+)
+from nope_nerf_tpu.utils.synthetic import SyntheticScene, tiny_config
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    scene = SyntheticScene(n_frames=4, hw=(16, 20), num_points=16)
+    cfg = tiny_config(
+        scene, str(tmp_path_factory.mktemp("out")), n_training_points=64,
+        num_points=16,
+    )
+    cfg["_num_cams"] = scene.N_imgs
+    params, init_c2w = build_params(cfg, scene, jax.random.PRNGKey(1))
+    state, _ = init_train_state(params)
+    imgs, dpts = scene_device_arrays(scene)
+    batch = {
+        "imgs": imgs,
+        "dpts": dpts,
+        "idx": jnp.int32(0),
+        "ref_idx": jnp.int32(1),
+        "camera_mat_gt": jnp.asarray(scene.K),
+        "scale_mat": jnp.asarray(scene.scale_mat),
+    }
+    scalars = {
+        "weights": {
+            k: np.float32(v)
+            for k, v in dict(
+                rgb_weight=1.0, depth_weight=0.04, pc_weight=1.0,
+                rgb_s_weight=1.0, depth_consistency_weight=0.0,
+                weight_dist_1st_loss=0.0, weight_dist_2nd_loss=0.0,
+            ).items()
+        },
+        "w_l1": np.float32(1.0),
+        "w_l2": np.float32(0.0),
+        "lrs": {g: np.float32(1e-3) for g in
+                ("nerf", "pose", "focal", "distortion")},
+    }
+    static = {"render_model": True, "use_ref": True, "use_rgb_s": True}
+    return cfg, state, batch, scalars, static, init_c2w
+
+
+class TestShardedStep:
+    def test_eight_devices_available(self):
+        assert len(jax.devices()) >= 8
+
+    def test_sharded_matches_single(self, setup):
+        cfg, state, batch, scalars, static, init_c2w = setup
+        rcfg = make_render_cfg(cfg)
+        rng = jax.random.PRNGKey(7)
+
+        step1 = make_train_step(cfg, rcfg, init_c2w)
+        s1, aux1 = step1(state, batch, scalars, rng, static)
+
+        mesh = make_ray_mesh(8)
+        step8 = shard_train_step(cfg, rcfg, init_c2w, mesh)
+        s8, aux8 = step8(state, batch, scalars, rng, static)
+
+        np.testing.assert_allclose(
+            float(aux1["loss"]), float(aux8["loss"]), rtol=1e-4
+        )
+        # updated parameters agree across all four groups
+        for g in ("nerf", "pose", "focal", "distortion"):
+            l1 = jax.tree.leaves(s1.params[g])
+            l8 = jax.tree.leaves(s8.params[g])
+            for a, b in zip(l1, l8):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), atol=2e-5,
+                    err_msg=f"group {g}",
+                )
+
+    def test_mesh_too_large_raises(self):
+        with pytest.raises(ValueError):
+            make_ray_mesh(1024)
+
+
+class TestGraftEntry:
+    def test_entry_compiles(self):
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        import __graft_entry__ as ge
+
+        fn, args = ge.entry()
+        out = jax.jit(fn)(*args)
+        rgb, depth = out
+        assert rgb.shape == (1024, 3) and depth.shape == (1024,)
+        assert np.isfinite(np.asarray(rgb)).all()
+
+    def test_dryrun_multichip(self):
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        import __graft_entry__ as ge
+
+        ge.dryrun_multichip(8)

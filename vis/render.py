@@ -87,7 +87,8 @@ def main(cfg):
     render_dir = os.path.join(generation_dir, "extracted_images", op)
     os.makedirs(render_dir, exist_ok=True)
 
-    imgs, depths = [], []
+    imgs, depths, geos = [], [], []
+    output_geo = False  # phong geometry pass (reference `vis/render.py:103`)
     for i, c2w in enumerate(np.asarray(c2ws)):
         world_mat = jnp.asarray(np.linalg.inv(c2w))
         rgb, depth = render_image(
@@ -101,6 +102,19 @@ def main(cfg):
         depths.append(
             np.clip(255.0 / dmax * (depth - dmin), 0, 255).astype(np.uint8)
         )
+        if output_geo:
+            from nope_nerf_tpu.geometry.rays import arange_pixels
+            from nope_nerf_tpu.ops.phong import phong_render
+
+            _, pixels = arange_pixels(tuple(resolution))
+            geo = phong_render(
+                nerf_params, pixels, jnp.asarray(camera_mat), world_mat,
+                jnp.eye(4), render_cfg, rad=cfg["rendering"]["radius"],
+            )["rgb"]
+            geo = np.clip(
+                np.asarray(geo).reshape(resolution[0], resolution[1], 3), 0, 1
+            )
+            geos.append((geo * 255).astype(np.uint8))
         print(f"rendered novel view {i + 1}/{len(c2ws)}")
 
     video_dir = os.path.join(render_dir, "video_out")
@@ -113,6 +127,9 @@ def main(cfg):
         os.path.join(video_dir, "depth.mp4"),
         np.stack(depths)[..., None].repeat(3, -1), fps=30, quality=9,
     )
+    if geos:
+        imageio.mimwrite(os.path.join(video_dir, "geo.mp4"), np.stack(geos),
+                         fps=30, quality=9)
     print(f"videos written to {video_dir}")
 
 
