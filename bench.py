@@ -4,8 +4,9 @@
 Runs the complete fused train step — 1024 rays x 128 samples through the
 256-wide MLP, plus the reference-pair losses (tiled Chamfer over
 (540/4)x(960/4) = 32,400-point clouds, surface photometric reprojection) and
-the 4-group Adam update — on the available accelerator, exactly the workload
-of one reference `Trainer.train_step` (model/training.py:67-97).
+the 4-group Adam update — exactly the workload of one reference
+`Trainer.train_step` (model/training.py:67-97), in the production
+epoch-scan mode (K steps per device dispatch).
 
 Prints ONE JSON line:
   {"metric": "train_rays_per_sec", "value": N, "unit": "rays/s",
@@ -28,10 +29,10 @@ BASELINE_RAYS_PER_SEC = 10240.0
 
 H, W = 540, 960
 N_RAYS = 1024
-N_SAMPLES = 128
 N_FRAMES = 8
-WARMUP = 5
-ITERS = 30
+WARMUP_DISPATCHES = 2
+SCAN_STEPS = 8          # steps fused per dispatch (one "epoch" over frames)
+MEASURE_DISPATCHES = 8  # 64 steps measured
 
 
 def build():
@@ -39,8 +40,8 @@ def build():
     from nope_nerf_tpu.training.loop import build_params
     from nope_nerf_tpu.training.trainer import (
         init_train_state,
+        make_epoch_step,
         make_render_cfg,
-        make_train_step,
     )
 
     cfg = load_config(DEFAULT_CONFIG, default_path=None)
@@ -62,15 +63,13 @@ def build():
     scene = _Scene()
     params, init_c2w = build_params(cfg, scene, jax.random.PRNGKey(0))
     state, _ = init_train_state(params)
-    step = make_train_step(cfg, make_render_cfg(cfg), init_c2w)
+    epoch_fn = make_epoch_step(cfg, make_render_cfg(cfg), init_c2w)
 
     imgs = jnp.asarray(rng.uniform(size=(N_FRAMES, H, W, 3)), jnp.float32)
     dpts = jnp.asarray(1.0 + rng.uniform(size=(N_FRAMES, H, W)), jnp.float32)
-    batch = {
+    scene_arrays = {
         "imgs": imgs,
         "dpts": dpts,
-        "idx": jnp.int32(0),
-        "ref_idx": jnp.int32(1),
         "camera_mat_gt": jnp.asarray(scene.K),
         "scale_mat": jnp.asarray(scene.scale_mat),
     }
@@ -90,24 +89,30 @@ def build():
                 ("nerf", "pose", "focal", "distortion")},
     }
     static = {"render_model": True, "use_ref": True, "use_rgb_s": True}
-    return state, step, batch, scalars, static
+    idxs = jnp.asarray(np.arange(SCAN_STEPS) % N_FRAMES, jnp.int32)
+    refs = jnp.asarray((np.arange(SCAN_STEPS) + 1) % N_FRAMES, jnp.int32)
+    return state, epoch_fn, scene_arrays, idxs, refs, scalars, static
 
 
 def main():
-    state, step, batch, scalars, static = build()
+    state, epoch_fn, scene_arrays, idxs, refs, scalars, static = build()
     key = jax.random.PRNGKey(0)
-    for i in range(WARMUP):
-        state, aux = step(state, batch, scalars, jax.random.fold_in(key, i),
-                          static)
-    jax.block_until_ready(state.params)
-    t0 = time.perf_counter()
-    for i in range(ITERS):
-        state, aux = step(
-            state, batch, scalars, jax.random.fold_in(key, WARMUP + i), static
+    for i in range(WARMUP_DISPATCHES):
+        state, aux, _ = epoch_fn(
+            state, scene_arrays, idxs, refs, scalars,
+            jax.random.fold_in(key, i), static,
         )
-    jax.block_until_ready(state.params)
+    _ = float(aux["loss"])  # hard sync (relay block_until_ready under-waits)
+    t0 = time.perf_counter()
+    for i in range(MEASURE_DISPATCHES):
+        state, aux, _ = epoch_fn(
+            state, scene_arrays, idxs, refs, scalars,
+            jax.random.fold_in(key, 100 + i), static,
+        )
+        _ = float(aux["loss"])  # hard sync per dispatch, as the train loop does
     dt = time.perf_counter() - t0
-    rays_per_sec = ITERS * N_RAYS / dt
+    steps = MEASURE_DISPATCHES * SCAN_STEPS
+    rays_per_sec = steps * N_RAYS / dt
     print(
         json.dumps(
             {

@@ -70,6 +70,22 @@ def interp_poses_bspline(c2ws, n_novel, input_times, degree):
     return _convert3x4_4x4(out)
 
 
+def get_poses_at_times(c2ws, input_times, target_times):
+    """Slerp rotations + piecewise-linear translations at arbitrary times
+    (`model/common.py:533-558`)."""
+    c2ws = np.asarray(c2ws)
+    rots = R.from_matrix(c2ws[:, :3, :3])
+    slerp = Slerp(input_times, rots)
+    target_rots = slerp(target_times).as_matrix().astype(np.float32)
+    # np.interp per-axis == the reference's two-neighbour linear blend
+    target_trans = np.stack(
+        [np.interp(target_times, input_times, c2ws[:, i, 3]) for i in range(3)],
+        axis=1,
+    ).astype(np.float32)
+    out = np.concatenate([target_rots, target_trans[:, :, None]], axis=2)
+    return _convert3x4_4x4(out)
+
+
 def _normalize(v):
     return v / np.linalg.norm(v)
 

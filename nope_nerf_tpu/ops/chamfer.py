@@ -30,14 +30,48 @@ def _pad_to(x, n, fill=0.0):
     return jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1), constant_values=fill)
 
 
+def _nearest_one_direction(X, Y, block, y_valid):
+    """argmin_j ||x - y_j|| for every x, blocked over rows of X.
+
+    The ``||x||²`` term is constant per row and drops out of the argmin, so
+    each block needs only ``||y||² - 2 x·yᵀ`` — one (block, D) fused
+    matmul+reduce per `lax.map` iteration (a handful of iterations total,
+    vs the 256-tile nested scan this replaces, whose per-tile overhead
+    dominated at ~20-40 ms/step).
+    """
+    S, D = X.shape[0], Y.shape[0]
+    Sp = -(-S // block) * block
+    Xb = _pad_to(X, Sp).reshape(-1, block, 3)
+    yy = jnp.sum(Y * Y, axis=-1)
+    scores_mask = jnp.where(y_valid > 0, 0.0, _BIG)
+
+    def blk(xb):
+        scores = (
+            yy[None, :]
+            - 2.0
+            * lax.dot_general(
+                xb, Y, (((1,), (1,)), ((), ())),
+                # full-f32 passes: bf16 cancels catastrophically for nearby
+                # points
+                precision=lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+            + scores_mask[None, :]
+        )
+        return jnp.argmin(scores, axis=1).astype(jnp.int32)
+
+    idx = lax.map(blk, Xb)
+    return idx.reshape(-1)[:S]
+
+
 def nearest_idx(X, Y, block: int = 2048, x_valid=None, y_valid=None):
     """Index of the nearest (valid) point of ``Y`` for every point of ``X``
     and vice versa. Forward-only (wrapped in stop_gradient).
 
     Args:
         X: (S, 3); Y: (D, 3).
-        block: tile edge; the (block, block) fp32 tile is the only live
-            intermediate (16 MB at 2048).
+        block: rows per map iteration (the (block, D) score tile is fused
+            with its argmin by XLA).
         x_valid / y_valid: optional (S,)/(D,) float masks — invalid points
             never win an argmin.
     Returns:
@@ -45,65 +79,11 @@ def nearest_idx(X, Y, block: int = 2048, x_valid=None, y_valid=None):
     """
     X = lax.stop_gradient(X)
     Y = lax.stop_gradient(Y)
-    S, D = X.shape[0], Y.shape[0]
-    Sp = -(-S // block) * block
-    Dp = -(-D // block) * block
-    Xb = _pad_to(X, Sp).reshape(-1, block, 3)
-    Yb = _pad_to(Y, Dp).reshape(-1, block, 3)
-    xv = _pad_to(jnp.ones(S) if x_valid is None else x_valid, Sp).reshape(-1, block)
-    yv = _pad_to(jnp.ones(D) if y_valid is None else y_valid, Dp).reshape(-1, block)
-    nx, ny = Xb.shape[0], Yb.shape[0]
-
-    xx = jnp.sum(Xb * Xb, axis=-1)
-    yy = jnp.sum(Yb * Yb, axis=-1)
-
-    def tile_d2(i, j):
-        d2 = (
-            xx[i][:, None]
-            + yy[j][None, :]
-            - 2.0
-            * lax.dot_general(
-                Xb[i], Yb[j], (((1,), (1,)), ((), ())),
-                # full-f32 passes: the xx+yy-2xy form cancels catastrophically
-                # at bf16 for nearby points
-                precision=lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32,
-            )
-        )
-        return jnp.maximum(d2, 0.0)
-
-    col = jnp.arange(block, dtype=jnp.int32)
-
-    def scan_i(carry, i):
-        min_y, idx_y = carry
-
-        def scan_j(carry_j, j):
-            (mx, ix), (min_y_a, idx_y_a) = carry_j
-            d2 = tile_d2(i, j)
-            d2x = jnp.where(yv[j][None, :] > 0, d2, _BIG)
-            tmx = jnp.min(d2x, axis=1)
-            tix = jnp.argmin(d2x, axis=1).astype(jnp.int32) + j * block
-            better = tmx < mx
-            mx = jnp.where(better, tmx, mx)
-            ix = jnp.where(better, tix, ix)
-
-            d2y = jnp.where(xv[i][:, None] > 0, d2, _BIG)
-            tmy = jnp.min(d2y, axis=0)
-            tiy = jnp.argmin(d2y, axis=0).astype(jnp.int32) + i * block
-            better_y = tmy < min_y_a[j]
-            min_y_a = min_y_a.at[j].set(jnp.where(better_y, tmy, min_y_a[j]))
-            idx_y_a = idx_y_a.at[j].set(jnp.where(better_y, tiy, idx_y_a[j]))
-            return ((mx, ix), (min_y_a, idx_y_a)), None
-
-        init_x = (jnp.full((block,), _BIG), jnp.zeros((block,), jnp.int32))
-        ((_, idx_x_i), (min_y, idx_y)), _ = lax.scan(
-            scan_j, (init_x, (min_y, idx_y)), jnp.arange(ny)
-        )
-        return (min_y, idx_y), idx_x_i
-
-    init_y = (jnp.full((ny, block), _BIG), jnp.zeros((ny, block), jnp.int32))
-    (_, idx_y), idx_x = lax.scan(scan_i, init_y, jnp.arange(nx))
-    return idx_x.reshape(-1)[:S], idx_y.reshape(-1)[:D]
+    xv = jnp.ones(X.shape[0]) if x_valid is None else x_valid
+    yv = jnp.ones(Y.shape[0]) if y_valid is None else y_valid
+    idx_x = _nearest_one_direction(X, Y, block, yv)
+    idx_y = _nearest_one_direction(Y, X, block, xv)
+    return idx_x, idx_y
 
 
 def chamfer_loss(X, Y, block: int = 2048, x_valid=None, y_valid=None):

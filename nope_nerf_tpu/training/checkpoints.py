@@ -82,9 +82,17 @@ class CheckpointIO:
 
     def load(self, filename):
         """Load; FileNotFoundError lets callers start fresh (the reference
-        catches FileExistsError the same way, `train.py:64-67`)."""
+        catches FileExistsError the same way, `train.py:64-67`).  URLs are
+        downloaded into the checkpoint dir first
+        (`model/checkpoints.py:93-103`)."""
         if filename.startswith(("http://", "https://")):
-            raise NotImplementedError("URL checkpoints not supported")
+            import urllib.request
+
+            local = os.path.join(self.checkpoint_dir,
+                                 os.path.basename(filename))
+            if not os.path.exists(local):
+                urllib.request.urlretrieve(filename, local)
+            return load_pytree(local)
         return load_pytree(os.path.join(self.checkpoint_dir, filename))
 
     def backup_model_best(self, filename="model_best.npz"):

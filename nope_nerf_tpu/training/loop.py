@@ -129,6 +129,15 @@ def train(cfg, max_epochs=None, scene=None):
     pyrng = pyrandom.Random(42)
     key = jax.random.PRNGKey(42)
 
+    # observability superset (SURVEY.md §5.1-5.2): optional device profiler
+    # trace and nan debugging
+    tpu_cfg = cfg.get("tpu", {}) or {}
+    if tpu_cfg.get("debug_nans"):
+        jax.config.update("jax_debug_nans", True)
+    profile_dir = tpu_cfg.get("profile_dir")
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
+
     out_dir = cfg["training"]["out_dir"]
     os.makedirs(out_dir, exist_ok=True)
     logger = MetricsLogger(os.path.join(out_dir, "logs"))
@@ -335,5 +344,7 @@ def train(cfg, max_epochs=None, scene=None):
             logger.add_scalar(f"train/lr_{g}", v, sched_state.it)
 
     save_all(checkpoint_io, state, sched_state, cfg)
+    if profile_dir:
+        jax.profiler.stop_trace()
     logger.close()
     return state, sched, scene

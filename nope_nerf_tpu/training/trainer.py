@@ -155,7 +155,15 @@ def compute_loss(
 
     # ---- ray sampling ---------------------------------------------------
     key_rays, key_noise = jax.random.split(rng)
-    ray_idx = jax.random.choice(key_rays, H * W, shape=(n_points,), replace=False)
+    if cfg.get("tpu", {}).get("fast_ray_sampling", True):
+        # with-replacement sampling: E[collisions] = n²/2HW ≈ 1 per step at
+        # paper scale — statistically immaterial, and it avoids the 518k-key
+        # sort a without-replacement permutation costs on TPU (~10 ms/step).
+        ray_idx = jax.random.randint(key_rays, (n_points,), 0, H * W)
+    else:
+        # exact reference semantics: randperm[:n] (`model/training.py:257`)
+        ray_idx = jax.random.choice(key_rays, H * W, shape=(n_points,),
+                                    replace=False)
     if mesh is not None:
         from ..parallel.mesh import shard_rays
 

@@ -156,7 +156,7 @@ def tiny_config(scene, out_dir, n_training_points=128, num_points=32,
                 "auto_scheduler": False,
                 "pc_ratio": 4,
             },
-            "tpu": {"chamfer_block": 256},
+            "tpu": {"chamfer_block": 256, "epoch_scan": True},
         },
     )
     return cfg
