@@ -137,6 +137,7 @@ def total_loss(
     with_ssim=False,
     depth_loss_type="l1",
     chamfer_block=2048,
+    use_pallas_chamfer=False,
 ):
     """Weighted sum of all terms (`model/losses.py:158-218`).
 
@@ -166,7 +167,15 @@ def total_loss(
         loss_dist_1st, loss_dist_2nd = dist_losses(t_list)
     else:
         loss_dist_1st = loss_dist_2nd = zero
-    pc = chamfer_loss(X, Y, block=chamfer_block) if X is not None else zero
+    if X is not None:
+        if use_pallas_chamfer:
+            from ..ops.pallas.chamfer_kernel import chamfer_loss_pallas
+
+            pc = chamfer_loss_pallas(X, Y)
+        else:
+            pc = chamfer_loss(X, Y, block=chamfer_block)
+    else:
+        pc = zero
     rgb_s = (
         rgb_s_loss(rgb_pc1, rgb_pc1_proj, valid_points, with_ssim)
         if rgb_pc1 is not None

@@ -169,8 +169,11 @@ def compute_loss(
 
         ray_idx = shard_rays(ray_idx, mesh)
     rgb_gt = img.reshape(-1, 3)[ray_idx]
-    _, p_full = arange_pixels((H, W))
-    p = p_full[ray_idx]
+    # scaled pixel coords straight from the flat indices (O(n_rays); building
+    # the full (H*W, 2) grid per step like arange_pixels costs ~2 ms)
+    px = 2.0 * (ray_idx % W).astype(jnp.float32) / (W - 1) - 1.0
+    py = 2.0 * (ray_idx // W).astype(jnp.float32) / (H - 1) - 1.0
+    p = jnp.stack([px, py], axis=-1)
 
     out = {}
     aux = {}
@@ -290,6 +293,11 @@ def compute_loss(
         with_ssim=tcfg["with_ssim"],
         depth_loss_type=tcfg["depth_loss_type"],
         chamfer_block=cfg.get("tpu", {}).get("chamfer_block", 2048),
+        use_pallas_chamfer=(
+            cfg.get("tpu", {}).get("use_pallas", True)
+            and mesh is None  # GSPMD path keeps the XLA impl
+            and jax.default_backend() == "tpu"
+        ),
         **loss_kwargs,
     )
     aux = dict(loss_dict)
