@@ -164,13 +164,9 @@ def main(cfg, eval_depth=False):
     imgs = np.stack([r["img"] for r in results])
     video_dir = os.path.join(render_dir, "video_out")
     os.makedirs(video_dir, exist_ok=True)
-    try:
-        import imageio
+    from nope_nerf_tpu.utils.video import write_video
 
-        imageio.mimwrite(os.path.join(video_dir, "img.mp4"), imgs, fps=30,
-                         quality=9)
-    except Exception as e:
-        print(f"mp4 writing unavailable: {e}")
+    write_video(os.path.join(video_dir, "img.mp4"), imgs)
     return {"psnr": mean_psnr, "ssim": mean_ssim, "lpips": mean_lpips}
 
 

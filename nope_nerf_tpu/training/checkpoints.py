@@ -44,9 +44,35 @@ def _unflatten(flat):
     return tree
 
 
-def save_pytree(path, tree, **scalars):
-    """Save a pytree + scalar kwargs. Atomic (tmp+rename)."""
+def save_leaves(path_prefix_dict, tree):
+    """Flatten an arbitrary pytree (NamedTuples, optax states, ...) into
+    numbered leaves for npz storage. Returns {'__leaf_<i>': array}."""
+    leaves = jax.tree.leaves(tree)
+    return {f"__leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
+
+
+def restore_leaves(flat, template):
+    """Rebuild ``template``'s structure from numbered leaves saved by
+    :func:`save_leaves` (shape-checked against the template)."""
+    treedef = jax.tree.structure(template)
+    n = treedef.num_leaves
+    leaves = [flat[f"__leaf_{i}"] for i in range(n)]
+    t_leaves = jax.tree.leaves(template)
+    for a, b in zip(leaves, t_leaves):
+        if np.shape(a) != np.shape(b):
+            raise ValueError(
+                f"optimizer-state shape mismatch {np.shape(a)} vs {np.shape(b)}"
+            )
+    return jax.tree.unflatten(treedef, leaves)
+
+
+def save_pytree(path, tree, opt_state=None, **scalars):
+    """Save a pytree + scalar kwargs (+ optional opaque optimizer state, the
+    reference bundles each module with its optimizer —
+    `model/checkpoints.py:29-41`). Atomic (tmp+rename)."""
     flat = _flatten(jax.device_get(tree))
+    if opt_state is not None:
+        flat.update(save_leaves(None, jax.device_get(opt_state)))
     flat["__scalars__"] = np.frombuffer(
         json.dumps(scalars).encode(), dtype=np.uint8
     )
@@ -55,19 +81,31 @@ def save_pytree(path, tree, **scalars):
     os.replace(tmp, path)
 
 
-def load_pytree(path):
-    """-> (tree dict of np arrays, scalars dict). Raises FileNotFoundError."""
+def load_pytree(path, opt_template=None):
+    """-> (tree dict of np arrays, scalars dict[, opt_state]).
+
+    With ``opt_template`` the saved optimizer leaves are rebuilt into the
+    template's structure (None if the file has none)."""
     if not os.path.exists(path):
         raise FileNotFoundError(path)
     data = np.load(path)
     scalars = {}
     flat = {}
+    leaf_flat = {}
     for k in data.files:
         if k == "__scalars__":
             scalars = json.loads(bytes(data[k]).decode())
+        elif k.startswith("__leaf_"):
+            leaf_flat[k] = data[k]
         else:
             flat[k] = data[k]
-    return _unflatten(flat), scalars
+    tree = _unflatten(flat)
+    if opt_template is None:
+        return tree, scalars
+    opt_state = (
+        restore_leaves(leaf_flat, opt_template) if leaf_flat else None
+    )
+    return tree, scalars, opt_state
 
 
 class CheckpointIO:
@@ -77,10 +115,11 @@ class CheckpointIO:
         self.checkpoint_dir = checkpoint_dir
         os.makedirs(checkpoint_dir, exist_ok=True)
 
-    def save(self, filename, tree, **scalars):
-        save_pytree(os.path.join(self.checkpoint_dir, filename), tree, **scalars)
+    def save(self, filename, tree, opt_state=None, **scalars):
+        save_pytree(os.path.join(self.checkpoint_dir, filename), tree,
+                    opt_state=opt_state, **scalars)
 
-    def load(self, filename):
+    def load(self, filename, opt_template=None):
         """Load; FileNotFoundError lets callers start fresh (the reference
         catches FileExistsError the same way, `train.py:64-67`).  URLs are
         downloaded into the checkpoint dir first
@@ -92,8 +131,9 @@ class CheckpointIO:
                                  os.path.basename(filename))
             if not os.path.exists(local):
                 urllib.request.urlretrieve(filename, local)
-            return load_pytree(local)
-        return load_pytree(os.path.join(self.checkpoint_dir, filename))
+            return load_pytree(local, opt_template)
+        return load_pytree(os.path.join(self.checkpoint_dir, filename),
+                           opt_template)
 
     def backup_model_best(self, filename="model_best.npz"):
         """`model/checkpoints.py:43-53`."""

@@ -77,31 +77,49 @@ def scene_device_arrays(scene):
     return imgs, dpts
 
 
-def restore(checkpoint_io, cfg, params):
+def restore(checkpoint_io, cfg, params, opt_template=None):
     """Try loading the four streams; missing files start fresh
-    (`train.py:64-67` semantics)."""
+    (`train.py:64-67` semantics). The main stream also carries the bundled
+    optimizer state (Adam moments, like `model/checkpoints.py:29-41`) unless
+    ``load_ckpt_model_only`` is set."""
     scalars = {}
+    opt_state = None
     streams = {
         "nerf": cfg["training"]["load_dir"],
         "pose": cfg["training"]["load_pose_dir"],
         "focal": cfg["training"]["load_focal_dir"],
         "distortion": cfg["training"]["load_distortion_dir"],
     }
+    model_only = cfg["training"].get("load_ckpt_model_only", False)
     for group, fname in streams.items():
         try:
-            tree, sc = checkpoint_io.load(fname)
+            if group == "nerf" and opt_template is not None and not model_only:
+                tree, sc, opt_state = checkpoint_io.load(fname, opt_template)
+            else:
+                tree, sc = checkpoint_io.load(fname)
             params[group] = jax.tree.map(jnp.asarray, tree["params"])
             if group == "nerf":
                 scalars = sc
         except FileNotFoundError:
             pass
-    return params, scalars
+        except ValueError:
+            # optimizer-state mismatch (e.g. different scene size): params
+            # load, moments start fresh
+            tree, sc = checkpoint_io.load(fname)
+            params[group] = jax.tree.map(jnp.asarray, tree["params"])
+            if group == "nerf":
+                scalars = sc
+    return params, scalars, opt_state
 
 
 def save_all(checkpoint_io, state, sched_state, cfg, suffix=""):
-    """Four logical streams (`train.py:249-259`)."""
+    """Four logical streams (`train.py:249-259`); the main stream bundles the
+    optimizer state so resume keeps the Adam moments."""
     sc = sched_state.to_dict()
-    checkpoint_io.save(f"model{suffix}.npz", {"params": state.params["nerf"]}, **sc)
+    checkpoint_io.save(
+        f"model{suffix}.npz", {"params": state.params["nerf"]},
+        opt_state=state.opt_state, **sc,
+    )
     if cfg["pose"]["learn_pose"]:
         checkpoint_io.save(
             f"model_pose{suffix}.npz", {"params": state.params["pose"]},
@@ -155,13 +173,21 @@ def train(cfg, max_epochs=None, scene=None):
     params, init_c2w = build_params(cfg, scene, init_key)
 
     checkpoint_io = CheckpointIO(out_dir)
-    params, ck_scalars = restore(checkpoint_io, cfg, params)
+    state0, _ = init_train_state(params)
+    params, ck_scalars, opt_state = restore(
+        checkpoint_io, cfg, params, opt_template=state0.opt_state
+    )
     sched_state = ScheduleState.from_dict(
         ck_scalars, cfg["training"]["scheduling_start"]
     )
     sched = Scheduler(cfg, sched_state)
 
     state, _ = init_train_state(params)
+    if opt_state is not None:
+        state = TrainState(
+            params=state.params,
+            opt_state=jax.tree.map(jnp.asarray, opt_state),
+        )
     epoch_scan = cfg.get("tpu", {}).get("epoch_scan", True)
     if epoch_scan:
         epoch_fn = make_epoch_step(cfg, render_cfg, init_c2w)

@@ -119,17 +119,15 @@ def main(cfg):
 
     video_dir = os.path.join(render_dir, "video_out")
     os.makedirs(video_dir, exist_ok=True)
-    import imageio
+    from nope_nerf_tpu.utils.video import write_video
 
-    imageio.mimwrite(os.path.join(video_dir, "img.mp4"), np.stack(imgs),
-                     fps=30, quality=9)
-    imageio.mimwrite(
+    write_video(os.path.join(video_dir, "img.mp4"), np.stack(imgs))
+    write_video(
         os.path.join(video_dir, "depth.mp4"),
-        np.stack(depths)[..., None].repeat(3, -1), fps=30, quality=9,
+        np.stack(depths)[..., None].repeat(3, -1),
     )
     if geos:
-        imageio.mimwrite(os.path.join(video_dir, "geo.mp4"), np.stack(geos),
-                         fps=30, quality=9)
+        write_video(os.path.join(video_dir, "geo.mp4"), np.stack(geos))
     print(f"videos written to {video_dir}")
 
 
