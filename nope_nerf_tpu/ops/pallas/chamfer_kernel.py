@@ -94,7 +94,7 @@ def _pad_vec(x, n, fill=0.0):
     return jnp.pad(x, (0, pad), constant_values=fill) if pad else x
 
 
-def nearest_idx_pallas(X, Y, x_valid=None, y_valid=None):
+def nearest_idx_pallas(X, Y, x_valid=None, y_valid=None, interpret=False):
     """Pallas drop-in for ops.chamfer.nearest_idx (same contract)."""
     X = lax.stop_gradient(X)
     Y = lax.stop_gradient(Y)
@@ -146,14 +146,15 @@ def nearest_idx_pallas(X, Y, x_valid=None, y_valid=None):
             pltpu.VMEM((nj, TILE), jnp.float32),
             pltpu.VMEM((nj, TILE), jnp.int32),
         ],
+        interpret=interpret,
     )(Xp, Yp, xv2, yv2, xx, yy)
     return idx_x.reshape(-1)[:S], idx_y.reshape(-1)[:D]
 
 
-def chamfer_loss_pallas(X, Y, x_valid=None, y_valid=None):
+def chamfer_loss_pallas(X, Y, x_valid=None, y_valid=None, interpret=False):
     """Symmetric Chamfer with the fused Pallas argmin (same contract as
     ops.chamfer.chamfer_loss)."""
-    idx_x, idx_y = nearest_idx_pallas(X, Y, x_valid, y_valid)
+    idx_x, idx_y = nearest_idx_pallas(X, Y, x_valid, y_valid, interpret=interpret)
     dxv = X - Y[idx_x]
     dyv = Y - X[idx_y]
     dx = jnp.sqrt(jnp.maximum(jnp.sum(dxv * dxv, axis=-1), 1e-24))
