@@ -23,7 +23,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE = 1024
+TILE = 1024      # X rows per tile
+TILE_Y = 2048    # Y columns per tile (8 MB f32 score tile)
 _BIG = 1e10
 
 
@@ -47,7 +48,7 @@ def _make_kernel():
         scores_x = yy_ref[0, :][None, :] - 2.0 * dot
         scores_x = jnp.where(yv_ref[0, :][None, :] > 0.0, scores_x, _BIG)
         tile_min = jnp.min(scores_x, axis=1)
-        tile_arg = jnp.argmin(scores_x, axis=1).astype(jnp.int32) + j * TILE
+        tile_arg = jnp.argmin(scores_x, axis=1).astype(jnp.int32) + j * TILE_Y
 
         @pl.when(j == 0)
         def _():
@@ -70,8 +71,8 @@ def _make_kernel():
 
         @pl.when(i == 0)
         def _():
-            col_min[j, :] = jnp.full((TILE,), _BIG, jnp.float32)
-            col_idx[j, :] = jnp.zeros((TILE,), jnp.int32)
+            col_min[j, :] = jnp.full((TILE_Y,), _BIG, jnp.float32)
+            col_idx[j, :] = jnp.zeros((TILE_Y,), jnp.int32)
 
         better_y = tile_min_y < col_min[j, :]
         col_min[j, :] = jnp.where(better_y, tile_min_y, col_min[j, :])
@@ -100,7 +101,7 @@ def nearest_idx_pallas(X, Y, x_valid=None, y_valid=None, interpret=False):
     Y = lax.stop_gradient(Y)
     S, D = X.shape[0], Y.shape[0]
     Sp = -(-S // TILE) * TILE
-    Dp = -(-D // TILE) * TILE
+    Dp = -(-D // TILE_Y) * TILE_Y
     Xp = _pad_pts(X, Sp)
     Yp = _pad_pts(Y, Dp)
     xv = _pad_vec(jnp.ones(S) if x_valid is None else x_valid, Sp)
@@ -110,22 +111,22 @@ def nearest_idx_pallas(X, Y, x_valid=None, y_valid=None, interpret=False):
     xv2 = xv[None, :]
     yv2 = yv[None, :]
 
-    ni, nj = Sp // TILE, Dp // TILE
+    ni, nj = Sp // TILE, Dp // TILE_Y
     idx_x, idx_y = pl.pallas_call(
         _make_kernel(),
         grid=(ni, nj),
         in_specs=[
             pl.BlockSpec((TILE, 3), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, 3), lambda i, j: (j, 0),
+            pl.BlockSpec((TILE_Y, 3), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TILE), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE), lambda i, j: (0, j),
+            pl.BlockSpec((1, TILE_Y), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TILE), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE), lambda i, j: (0, j),
+            pl.BlockSpec((1, TILE_Y), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
         ],
         # full-array output blocks (VMEM-resident for the whole kernel):
@@ -133,18 +134,18 @@ def nearest_idx_pallas(X, Y, x_valid=None, y_valid=None, interpret=False):
         out_specs=[
             pl.BlockSpec((ni, TILE), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nj, TILE), lambda i, j: (0, 0),
+            pl.BlockSpec((nj, TILE_Y), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((ni, TILE), jnp.int32),
-            jax.ShapeDtypeStruct((nj, TILE), jnp.int32),
+            jax.ShapeDtypeStruct((nj, TILE_Y), jnp.int32),
         ],
         scratch_shapes=[
             pltpu.VMEM((TILE,), jnp.float32),
             pltpu.VMEM((TILE,), jnp.int32),
-            pltpu.VMEM((nj, TILE), jnp.float32),
-            pltpu.VMEM((nj, TILE), jnp.int32),
+            pltpu.VMEM((nj, TILE_Y), jnp.float32),
+            pltpu.VMEM((nj, TILE_Y), jnp.int32),
         ],
         interpret=interpret,
     )(Xp, Yp, xv2, yv2, xx, yy)
