@@ -29,11 +29,21 @@ def make_ray_mesh(n_devices: int | None = None) -> Mesh:
     devs = jax.devices()
     if n_devices is not None:
         if len(devs) < n_devices:
-            raise ValueError(
-                f"need {n_devices} devices, have {len(devs)} "
-                "(set XLA_FLAGS=--xla_force_host_platform_device_count=N for "
-                "CPU testing)"
-            )
+            # fall back to the virtual CPU devices
+            # (xla_force_host_platform_device_count) when the default
+            # backend is a single real chip
+            try:
+                cpu_devs = jax.devices("cpu")
+            except RuntimeError:
+                cpu_devs = []
+            if len(cpu_devs) >= n_devices:
+                devs = cpu_devs
+            else:
+                raise ValueError(
+                    f"need {n_devices} devices, have {len(devs)} "
+                    "(set XLA_FLAGS=--xla_force_host_platform_device_count=N "
+                    "for CPU testing)"
+                )
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (RAY_AXIS,))
 
