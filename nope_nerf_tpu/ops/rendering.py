@@ -170,13 +170,31 @@ def render_rays(
     if not cfg["use_ray_dir"]:
         dirs = jnp.ones_like(dirs)
 
-    rgb, density = apply_nerf(
-        nerf_params,
-        pts.reshape(-1, 3),
-        dirs.reshape(-1, 3),
-        cfg,
-        precision=precision,
-    )
+    # Field evaluation. One fused batch when it fits (the TPU-native default:
+    # 1024x128 points are ideal MXU tiles); for giant ray batches the
+    # reference's n_max_network_queries memory bound (`model/rendering.py:108`)
+    # is honoured with a lax.map chunk loop.
+    n_pts = N * S
+    n_max = cfg.get("n_max_network_queries") or n_pts
+    pts_flat = pts.reshape(-1, 3)
+    dirs_flat = dirs.reshape(-1, 3)
+    if n_pts > n_max:
+        chunk = max(1, n_max)
+        n_pad = (-n_pts) % chunk
+        pts_c = jnp.pad(pts_flat, ((0, n_pad), (0, 0))).reshape(-1, chunk, 3)
+        dirs_c = jnp.pad(dirs_flat, ((0, n_pad), (0, 0))).reshape(-1, chunk, 3)
+
+        def _chunk(args):
+            p_, d_ = args
+            return apply_nerf(nerf_params, p_, d_, cfg, precision=precision)
+
+        rgb, density = jax.lax.map(_chunk, (pts_c, dirs_c))
+        rgb = rgb.reshape(-1, 3)[:n_pts]
+        density = density.reshape(-1, 1)[:n_pts]
+    else:
+        rgb, density = apply_nerf(
+            nerf_params, pts_flat, dirs_flat, cfg, precision=precision
+        )
     rgb = rgb.reshape(N, S, 3)
     alpha = density.reshape(N, S)
 

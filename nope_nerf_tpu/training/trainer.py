@@ -435,7 +435,13 @@ def make_epoch_step(cfg, render_cfg, init_c2w=None, mesh=None):
 
 
 def make_render_cfg(cfg):
-    """Merge the rendering + model config groups for render_rays."""
+    """Merge the rendering + model config groups for render_rays.
+
+    The reference's ``n_max_network_queries: 64000`` is a GPU memory bound
+    (`model/rendering.py:108`); on TPU a fused 131k-point batch is the fast
+    path, so the bound defaults to 2M points here and only kicks in for
+    genuinely huge ray batches. Override via ``tpu.n_max_network_queries``.
+    """
     rc = dict(cfg["rendering"])
     rc.update(
         {
@@ -443,6 +449,9 @@ def make_render_cfg(cfg):
             "pos_enc_levels": cfg["model"]["pos_enc_levels"],
             "dir_enc_levels": cfg["model"]["dir_enc_levels"],
             "hidden_dim": cfg["model"]["hidden_dim"],
+            "n_max_network_queries": cfg.get("tpu", {}).get(
+                "n_max_network_queries", 2**21
+            ),
         }
     )
     return rc

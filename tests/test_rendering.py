@@ -180,3 +180,29 @@ class TestRenderImage:
         np.testing.assert_allclose(
             depth.reshape(-1)[:3], out["depth_pred"], atol=1e-5
         )
+
+
+class TestNetworkQueryChunking:
+    def test_chunked_matches_fused(self):
+        """n_max_network_queries splits the field evaluation without changing
+        results (reference `model/rendering.py:108-117` memory bound)."""
+        params, K = setup()
+        pixels = jnp.asarray(
+            np.stack(np.meshgrid(np.linspace(-0.5, 0.5, 4),
+                                 np.linspace(-0.5, 0.5, 4)), -1).reshape(-1, 2),
+            jnp.float32,
+        )
+        depth = jnp.ones(16)
+        out_fused = render_rays(
+            params, pixels, depth, K, jnp.eye(4), jnp.eye(4),
+            render_cfg(n_max_network_queries=10**9),
+        )
+        out_chunked = render_rays(
+            params, pixels, depth, K, jnp.eye(4), jnp.eye(4),
+            render_cfg(n_max_network_queries=64),  # 16*16=256 pts -> 4 chunks
+        )
+        np.testing.assert_allclose(out_fused["rgb"], out_chunked["rgb"],
+                                   atol=1e-6)
+        np.testing.assert_allclose(
+            out_fused["depth_pred"], out_chunked["depth_pred"], atol=1e-6
+        )
