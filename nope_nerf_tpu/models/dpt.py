@@ -422,8 +422,17 @@ def apply_dpt(params, img, scale=0.000305, shift=0.1378, invert=True,
     return inv_depth
 
 
-def apply_dpt_batched(params, imgs, **kw):
-    """(B, H, W, 3) -> (B, H, W); vmapped, shardable over the frame axis."""
+def apply_dpt_batched(params, imgs, mesh=None, **kw):
+    """(B, H, W, 3) -> (B, H, W); vmapped over frames.
+
+    With ``mesh`` the frame axis is sharded over the chips (SURVEY.md §2.5's
+    batched-frame parallelism for DPT preprocessing) — params replicated,
+    each chip runs its frames independently.
+    """
+    if mesh is not None:
+        from ..parallel.mesh import shard_rays
+
+        imgs = shard_rays(imgs, mesh)
     return jax.vmap(lambda im: apply_dpt(params, im, **kw))(imgs)
 
 

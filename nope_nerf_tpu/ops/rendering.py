@@ -253,8 +253,9 @@ def _freeze(obj):
 
 
 @functools.lru_cache(maxsize=32)
-def _render_image_jit(resolution, chunk, cfg_key, precision):
+def _render_image_jit(resolution, chunk, cfg_key, precision, mesh_key=None):
     cfg = {k: (list(v) if isinstance(v, tuple) else v) for k, v in cfg_key}
+    mesh = _MESH_REGISTRY.get(mesh_key) if mesh_key is not None else None
 
     def impl(nerf_params, camera_mat, world_mat, scale_mat):
         from ..geometry.rays import arange_pixels
@@ -270,6 +271,13 @@ def _render_image_jit(resolution, chunk, cfg_key, precision):
 
         def _one(args):
             pix, dep = args
+            if mesh is not None:
+                # shard each chunk's rays over the mesh (SURVEY.md §2.5:
+                # data parallelism over pixels for eval rendering)
+                from ..parallel.mesh import shard_rays
+
+                pix = shard_rays(pix, mesh)
+                dep = shard_rays(dep, mesh)
             out = render_rays(
                 nerf_params, pix, dep, camera_mat, world_mat, scale_mat, cfg,
                 add_noise=False, eval_mode=True, precision=precision,
@@ -284,8 +292,12 @@ def _render_image_jit(resolution, chunk, cfg_key, precision):
     return jax.jit(impl)
 
 
+# meshes aren't hashable for the lru_cache: register by id
+_MESH_REGISTRY = {}
+
+
 def render_image(nerf_params, resolution, camera_mat, world_mat, scale_mat,
-                 cfg, chunk: int = 16384, precision=None):
+                 cfg, chunk: int = 16384, precision=None, mesh=None):
     """Full-image eval render: ONE jitted dispatch per image (cached per
     resolution/cfg), chunked inside with `lax.map` (static chunk count).
 
@@ -296,6 +308,13 @@ def render_image(nerf_params, resolution, camera_mat, world_mat, scale_mat,
     Returns (rgb (h, w, 3), depth (h, w)).
     """
     chunk = min(chunk, resolution[0] * resolution[1])
-    fn = _render_image_jit(tuple(resolution), chunk, _freeze(cfg), precision)
+    mesh_key = None
+    if mesh is not None:
+        mesh_key = id(mesh)
+        _MESH_REGISTRY[mesh_key] = mesh
+        if chunk % len(mesh.devices.ravel()) != 0:
+            raise ValueError("chunk must divide evenly over mesh devices")
+    fn = _render_image_jit(tuple(resolution), chunk, _freeze(cfg), precision,
+                           mesh_key)
     return fn(nerf_params, jnp.asarray(camera_mat), jnp.asarray(world_mat),
               jnp.asarray(scale_mat))

@@ -107,3 +107,45 @@ class TestGraftEntry:
         import __graft_entry__ as ge
 
         ge.dryrun_multichip(8)
+
+
+class TestShardedEval:
+    def test_sharded_render_image_matches(self):
+        from nope_nerf_tpu.models import init_nerf_params
+        from nope_nerf_tpu.ops.rendering import render_image
+
+        cfg_model = {
+            "model": {"hidden_dim": 32, "pos_enc_levels": 4,
+                      "dir_enc_levels": 2, "occ_activation": "softplus"},
+            "rendering": {"white_background": False},
+        }
+        rcfg = {
+            "num_points": 8, "depth_range": [0.5, 4.0],
+            "sample_option": "uniform", "dist_alpha": False,
+            "use_ray_dir": True, "normalise_ray": True,
+            "white_background": False, "normal_loss": False,
+            "outside_steps": 0, "occ_activation": "softplus",
+            "pos_enc_levels": 4, "dir_enc_levels": 2,
+        }
+        params = init_nerf_params(jax.random.PRNGKey(0), cfg_model)
+        K = jnp.diag(jnp.array([1.0, -1.0, -1.0, 1.0]))
+        rgb1, d1 = render_image(params, (8, 16), K, jnp.eye(4), jnp.eye(4),
+                                rcfg, chunk=64)
+        mesh = make_ray_mesh(8)
+        rgb8, d8 = render_image(params, (8, 16), K, jnp.eye(4), jnp.eye(4),
+                                rcfg, chunk=64, mesh=mesh)
+        np.testing.assert_allclose(np.asarray(rgb1), np.asarray(rgb8),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(d1), np.asarray(d8), atol=1e-5)
+
+    def test_sharded_dpt_batched(self):
+        from nope_nerf_tpu.models.dpt import apply_dpt_batched, init_dpt_params
+
+        params = init_dpt_params(jax.random.PRNGKey(0))
+        imgs = jnp.zeros((8, 32, 32, 3))
+        mesh = make_ray_mesh(8)
+        out = jax.jit(
+            lambda p, im: apply_dpt_batched(p, im, mesh=mesh)
+        )(params, imgs)
+        assert out.shape == (8, 32, 32)
+        assert np.isfinite(np.asarray(out)).all()
