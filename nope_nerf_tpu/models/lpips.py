@@ -90,10 +90,15 @@ def load_lpips(path: str | None = None):
     path = path or DEFAULT_WEIGHTS
     tree, _ = load_pytree(path)
     params = jax.tree.map(jnp.asarray, tree["params"])
-    # rebuild ordered lists (npz round-trips dict keys)
+    # npz round-trip restores digit-keyed dicts as lists; accept either
+    def _as_list(node, n):
+        if isinstance(node, list):
+            return node
+        return [node[str(i)] for i in range(n)]
+
     params = {
-        "convs": [params["convs"][str(i)] for i in range(13)],
-        "lins": [params["lins"][str(i)] for i in range(5)],
+        "convs": _as_list(params["convs"], 13),
+        "lins": _as_list(params["lins"], 5),
     }
     fn = jax.jit(lambda a, b: lpips_distance(params, a, b))
 

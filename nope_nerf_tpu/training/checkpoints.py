@@ -41,7 +41,20 @@ def _unflatten(flat):
         for p in parts[:-1]:
             node = node.setdefault(p, {})
         node[parts[-1]] = v
-    return tree
+    return _listify(tree)
+
+
+def _listify(node):
+    """Dicts whose keys are exactly 0..n-1 were lists before flattening —
+    restore them (e.g. the DPT resnet stage/block lists)."""
+    if not isinstance(node, dict):
+        return node
+    out = {k: _listify(v) for k, v in node.items()}
+    if out and all(k.isdigit() for k in out):
+        idx = sorted(out, key=int)
+        if [int(k) for k in idx] == list(range(len(idx))):
+            return [out[k] for k in idx]
+    return out
 
 
 def save_leaves(path_prefix_dict, tree):

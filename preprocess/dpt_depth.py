@@ -58,12 +58,17 @@ def main(cfg):
     invert = cfg["depth"]["invert"]
     non_negative = cfg["depth"]["non_negative"]
 
-    fwd = jax.jit(
-        lambda imgs: apply_dpt_batched(
-            params, imgs, scale=scale, shift=shift, invert=invert,
+    # params as explicit jit args — closing over them would bake ~400 MB of
+    # weight constants into the HLO (very slow to upload/compile)
+    fwd_impl = jax.jit(
+        lambda p, imgs: apply_dpt_batched(
+            p, imgs, scale=scale, shift=shift, invert=invert,
             non_negative=non_negative,
         )
     )
+
+    def fwd(imgs):
+        return fwd_impl(params, imgs)
 
     import imageio
 
