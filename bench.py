@@ -67,9 +67,16 @@ def build():
 
     imgs = jnp.asarray(rng.uniform(size=(N_FRAMES, H, W, 3)), jnp.float32)
     dpts = jnp.asarray(1.0 + rng.uniform(size=(N_FRAMES, H, W)), jnp.float32)
+    # production layout (loop.scene_batch_arrays): precomputed pc_ratio pyramid
+    from nope_nerf_tpu.ops.interp import resize_bilinear, resize_nearest
+
+    ratio = cfg["training"]["pc_ratio"]
+    sres = (int(H / ratio), int(W / ratio))
     scene_arrays = {
         "imgs": imgs,
         "dpts": dpts,
+        "dpts_small": jax.vmap(lambda d: resize_nearest(d, sres))(dpts),
+        "imgs_small": jax.vmap(lambda im: resize_bilinear(im, sres))(imgs),
         "camera_mat_gt": jnp.asarray(scene.K),
         "scale_mat": jnp.asarray(scene.scale_mat),
     }

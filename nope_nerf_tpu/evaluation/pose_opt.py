@@ -5,9 +5,18 @@ optimises per-test-frame SE(3) poses by photometric MSE for
 ``opt_pose_epoch`` epochs (`model/eval_pose_one_epoch.py:25-98`,
 `evaluation/eval.py:117-133`).  PSNR parity requires this.
 
-TPU design: a second, smaller fused jit — pose params only, frozen field —
-with the step LR (MultiStepLR gamma 0.5 at num_epoch/5 milestones,
-`evaluation/eval.py:118-121`) passed as a traced scalar.
+TPU design: the whole protocol is fused — a single jit scans over a *block*
+of (epoch x frame) steps (pose params only, frozen field), with the
+MultiStepLR schedule (gamma 0.5 at num_epoch/5 milestones,
+`evaluation/eval.py:118-121`) entering as a traced per-step LR array.  The
+reference dispatches num_epoch x n_eval individual steps; through a ~30 ms
+device tunnel that is minutes of pure dispatch — here it is
+ceil(num_epoch / block) dispatches total.
+
+Adam semantics match torch exactly: the per-frame loss produces a dense
+gradient over all frames' (r, t) rows (zeros elsewhere), and the moments of
+every row update every step — the reference's single torch.optim.Adam over
+the full LearnPose table behaves identically.
 
 Pose initialisation options (`evaluation/eval.py:102-111`):
 * 'pre'  — neighbouring learned train poses,
@@ -16,13 +25,16 @@ Pose initialisation options (`evaluation/eval.py:102-111`):
 """
 from __future__ import annotations
 
+import bisect
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+from jax import lax
 
 from ..geometry.align import align_ate_c2b_use_a2b, align_scale_c2b_use_a2b
-from ..geometry.rays import arange_pixels
+from ..geometry.rays import rigid_inv
 from ..models.pose import all_poses, init_pose_params, pose_c2w
 from ..ops.rendering import render_rays
 
@@ -48,19 +60,41 @@ def init_eval_poses(init_method, eval_c2ws_gt, learned_c2ws_train,
     raise ValueError(f"unknown init_method {init_method}")
 
 
-def make_pose_opt_step(nerf_params, cfg, render_cfg, init_c2w, n_points):
-    """Jitted photometric-MSE pose step (`model/eval_pose_one_epoch.py:62-98`)."""
-    nerf_params = jax.tree.map(jax.lax.stop_gradient, nerf_params)
+def lr_schedule(num_epoch, lr):
+    """Per-epoch LR under MultiStepLR(milestones=range(0, E, E/5), gamma=.5),
+    stepped once per epoch (`evaluation/eval.py:118-121,128`)."""
+    milestones = list(range(0, int(num_epoch), max(int(num_epoch / 5), 1)))
+    return np.array(
+        [lr * 0.5 ** bisect.bisect_right(milestones, e)
+         for e in range(num_epoch)],
+        np.float32,
+    )
 
-    def loss_fn(pose_params, img, camera_mat, scale_mat, idx, rng):
-        c2w = pose_c2w(pose_params, idx, init_c2w)
-        world_mat = jnp.linalg.inv(c2w)
-        H, W, _ = img.shape
-        ray_idx = jax.random.choice(rng, H * W, shape=(n_points,),
-                                    replace=False)
-        _, p_full = arange_pixels((H, W))
-        p = p_full[ray_idx]
-        rgb_gt = img.reshape(-1, 3)[ray_idx]
+
+def make_pose_opt_block(cfg, render_cfg, init_c2w, n_points, hw):
+    """Jitted multi-step pose-opt block (`model/eval_pose_one_epoch.py:62-98`).
+
+    Returns run(nerf_params, pose_params, opt_state, eval_imgs, camera_mat,
+    scale_mat, lrs_steps, frame_idx, keys) -> (pose_params, opt_state,
+    losses) scanning one fused dispatch over all steps in the block.
+    """
+    H, W = hw
+    fast = cfg.get("tpu", {}).get("fast_ray_sampling", True)
+    tx = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
+
+    def loss_fn(pose_params, nerf_params, eval_imgs, camera_mat, scale_mat,
+                i, rng):
+        c2w = pose_c2w(pose_params, i, init_c2w)
+        world_mat = rigid_inv(c2w)
+        if fast:
+            ray_idx = jax.random.randint(rng, (n_points,), 0, H * W)
+        else:
+            ray_idx = jax.random.choice(rng, H * W, shape=(n_points,),
+                                        replace=False)
+        px = 2.0 * (ray_idx % W).astype(jnp.float32) / (W - 1) - 1.0
+        py = 2.0 * (ray_idx // W).astype(jnp.float32) / (H - 1) - 1.0
+        p = jnp.stack([px, py], axis=-1)
+        rgb_gt = eval_imgs[i].reshape(-1, 3)[ray_idx]
         depth = jnp.ones(n_points, jnp.float32)
         out = render_rays(
             nerf_params, p, depth, camera_mat, world_mat, scale_mat,
@@ -68,25 +102,35 @@ def make_pose_opt_step(nerf_params, cfg, render_cfg, init_c2w, n_points):
         )
         return jnp.mean((out["rgb"] - rgb_gt) ** 2)
 
-    tx = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
-
     @jax.jit
-    def step(pose_params, opt_state, img, camera_mat, scale_mat, idx, lr, rng):
-        loss, grads = jax.value_and_grad(
-            lambda pp: loss_fn(pp, img, camera_mat, scale_mat, idx, rng)
-        )(pose_params)
-        updates, opt_state = tx.update(grads, opt_state, pose_params)
-        updates = jax.tree.map(lambda u: -lr * u, updates)
-        pose_params = optax.apply_updates(pose_params, updates)
-        return pose_params, opt_state, loss
+    def run(nerf_params, pose_params, opt_state, eval_imgs, camera_mat,
+            scale_mat, lrs_steps, frame_idx, keys):
+        nerf_params = jax.tree.map(lax.stop_gradient, nerf_params)
 
-    return step, tx
+        def body(carry, inp):
+            pp, ostate = carry
+            lr_s, i, k = inp
+            loss, grads = jax.value_and_grad(loss_fn)(
+                pp, nerf_params, eval_imgs, camera_mat, scale_mat, i, k
+            )
+            updates, ostate = tx.update(grads, ostate, pp)
+            updates = jax.tree.map(lambda u: -lr_s * u, updates)
+            pp = optax.apply_updates(pp, updates)
+            return (pp, ostate), loss
+
+        (pose_params, opt_state), losses = lax.scan(
+            body, (pose_params, opt_state), (lrs_steps, frame_idx, keys)
+        )
+        return pose_params, opt_state, losses
+
+    return run, tx
 
 
 def optimize_eval_poses(nerf_params, camera_mat, cfg, render_cfg, eval_imgs,
                         scale_mat, init_c2w, num_epoch, lr, n_points,
-                        logger=None, seed=0):
-    """Run the full test-time pose optimisation.
+                        logger=None, seed=0, block_epochs=50):
+    """Run the full test-time pose optimisation (fused, one dispatch per
+    ``block_epochs`` epochs).
 
     Args:
         eval_imgs: (N_eval, H, W, 3) device array.
@@ -94,35 +138,36 @@ def optimize_eval_poses(nerf_params, camera_mat, cfg, render_cfg, eval_imgs,
     Returns:
         (eval_c2ws (N_eval, 4, 4) numpy, pose_params)
     """
-    n_eval = eval_imgs.shape[0]
+    n_eval, H, W = eval_imgs.shape[:3]
     pose_params = init_pose_params(n_eval)
     init_c2w_j = None if init_c2w is None else jnp.asarray(init_c2w)
-    step, tx = make_pose_opt_step(nerf_params, cfg, render_cfg, init_c2w_j,
-                                  n_points)
+    run, tx = make_pose_opt_block(cfg, render_cfg, init_c2w_j, n_points,
+                                  (H, W))
     opt_state = tx.init(pose_params)
     camera_mat = jnp.asarray(camera_mat)
     scale_mat = jnp.asarray(scale_mat)
+    eval_imgs = jnp.asarray(eval_imgs)
 
+    lrs_epoch = lr_schedule(num_epoch, lr)
     key = jax.random.PRNGKey(seed)
-    # MultiStepLR(milestones=range(0, num_epoch, num_epoch/5), gamma=0.5),
-    # stepped once per epoch (`evaluation/eval.py:118-121,128`): the LR during
-    # epoch e is lr * 0.5^(#milestones <= e).
-    import bisect
-
-    milestones = list(range(0, int(num_epoch), max(int(num_epoch / 5), 1)))
-    for epoch in range(num_epoch):
-        lr_e = lr * (0.5 ** bisect.bisect_right(milestones, epoch))
-        losses = []
-        for i in range(n_eval):
-            key, k = jax.random.split(key)
-            pose_params, opt_state, loss = step(
-                pose_params, opt_state, eval_imgs[i], camera_mat, scale_mat,
-                jnp.int32(i), np.float32(lr_e), k,
-            )
-            losses.append(loss)
-        if logger is not None and (epoch % 50 == 0 or epoch == num_epoch - 1):
-            mse = float(np.mean(jax.device_get(losses)))
+    frame_order = np.arange(n_eval, dtype=np.int32)
+    step = 0
+    for b0 in range(0, num_epoch, block_epochs):
+        b1 = min(b0 + block_epochs, num_epoch)
+        n_steps = (b1 - b0) * n_eval
+        lrs_steps = jnp.asarray(np.repeat(lrs_epoch[b0:b1], n_eval))
+        frame_idx = jnp.asarray(np.tile(frame_order, b1 - b0))
+        keys = jax.vmap(lambda s: jax.random.fold_in(key, s))(
+            jnp.arange(step, step + n_steps)
+        )
+        step += n_steps
+        pose_params, opt_state, losses = run(
+            nerf_params, pose_params, opt_state, eval_imgs, camera_mat,
+            scale_mat, lrs_steps, frame_idx, keys,
+        )
+        if logger is not None:
+            mse = float(np.mean(np.asarray(losses[-n_eval:])))
             psnr = -10.0 * np.log10(max(mse, 1e-10))
-            logger.add_scalar("opt/psnr", psnr, epoch)
+            logger.add_scalar("opt/psnr", psnr, b1 - 1)
     eval_c2ws = np.asarray(all_poses(pose_params, init_c2w_j))
     return eval_c2ws, pose_params

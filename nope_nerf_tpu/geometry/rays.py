@@ -51,6 +51,21 @@ def arange_pixels(resolution, image_range=(-1.0, 1.0)):
     return loc.astype(jnp.int32), scaled
 
 
+def rigid_inv(M):
+    """Closed-form inverse of a rigid 4x4 [[R, t], [0, 1]]: [[Rᵀ, -Rᵀt], [0, 1]].
+
+    Replaces ``jnp.linalg.inv`` on camera poses in hot paths (the LU solve
+    costs ~10x the two small matmuls and lowers poorly on TPU). Only valid
+    for rigid transforms — all learned c2w matrices here are (exp_so3 ∘ t).
+    """
+    R = M[:3, :3]
+    t = M[:3, 3]
+    top = jnp.concatenate([R.T, -jnp.matmul(R.T, t[:, None], precision=_HI)],
+                          axis=1)
+    bottom = jnp.array([[0.0, 0.0, 0.0, 1.0]], dtype=M.dtype)
+    return jnp.concatenate([top, bottom], axis=0)
+
+
 def to_world_transform(camera_mat, world_mat, scale_mat):
     """Composite pixel→world homogeneous transform scale⁻¹·world⁻¹·camera⁻¹.
 

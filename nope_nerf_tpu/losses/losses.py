@@ -93,13 +93,24 @@ def mean_on_mask(diff, valid_mask):
     return jnp.sum(diff * mask) / den
 
 
-def rgb_s_loss(rgb1, rgb2, valid_points, with_ssim=False):
+def rgb_s_loss(rgb1, rgb2, valid_points, with_ssim=False, rgb2_ori=None):
     """Surface-based photometric loss (`model/losses.py:150-157`).
 
     rgb1/rgb2: (h, w, 3) sampled and reprojected colours; valid_points
     (h, w, 1) float.
+
+    With ``rgb2_ori`` (view 2 at the identity grid), the reference's
+    auto-mask (`model/losses.py:92-95`, its ``with_auto_mask`` key) gates the
+    mask to points where the warp beats the unwarped reference — computed
+    from the raw photometric diff before the SSIM blend, as there.
     """
     diff = jnp.clip(jnp.abs(rgb1 - rgb2), 0.0, 1.0)
+    if rgb2_ori is not None:
+        auto = (
+            jnp.mean(diff, axis=-1, keepdims=True)
+            < jnp.mean(jnp.abs(rgb1 - rgb2_ori), axis=-1, keepdims=True)
+        ).astype(valid_points.dtype)
+        valid_points = auto * valid_points
     if with_ssim:
         smap = ssim_loss_map(rgb1, rgb2)
         diff = 0.15 * diff + 0.85 * smap
@@ -127,6 +138,7 @@ def total_loss(
     Y=None,
     rgb_pc1=None,
     rgb_pc1_proj=None,
+    rgb_pc1_ori=None,
     valid_points=None,
     d1_proj=None,
     d2=None,
@@ -135,6 +147,7 @@ def total_loss(
     w_l1=1.0,
     w_l2=0.0,
     with_ssim=False,
+    with_auto_mask=False,
     depth_loss_type="l1",
     chamfer_block=2048,
     use_pallas_chamfer=False,
@@ -177,7 +190,10 @@ def total_loss(
     else:
         pc = zero
     rgb_s = (
-        rgb_s_loss(rgb_pc1, rgb_pc1_proj, valid_points, with_ssim)
+        rgb_s_loss(
+            rgb_pc1, rgb_pc1_proj, valid_points, with_ssim,
+            rgb2_ori=rgb_pc1_ori if with_auto_mask else None,
+        )
         if rgb_pc1 is not None
         else zero
     )

@@ -72,32 +72,40 @@ def init_nerf_params(key, cfg: dict) -> dict:
     return params
 
 
-def _dense(p, x, precision=None):
+def _dense(p, x, precision=None, dtype=None):
+    """Linear layer. With ``dtype=bfloat16`` the matmul inputs are cast and
+    the MXU accumulates in f32 (preferred_element_type) — ~4x the f32 matmul
+    rate and half the HBM activation traffic on TPU; bias add and activation
+    stay f32."""
+    w = p["w"]
+    if dtype is not None:
+        x = x.astype(dtype)
+        w = w.astype(dtype)
     return (
         jax.lax.dot_general(
-            x, p["w"], (((x.ndim - 1,), (0,)), ((), ())),
+            x, w, (((x.ndim - 1,), (0,)), ((), ())),
             precision=precision, preferred_element_type=jnp.float32,
         )
         + p["b"]
     )
 
 
-def _trunk(params, pts, L_pos, precision):
+def _trunk(params, pts, L_pos, precision, dtype=None):
     pos_enc = encode_position(pts, levels=L_pos, inc_input=True)
     x = pos_enc
     for i in range(4):
-        x = jax.nn.relu(_dense(params[f"trunk0_{i}"], x, precision))
+        x = jax.nn.relu(_dense(params[f"trunk0_{i}"], x, precision, dtype))
     x = jnp.concatenate([x, pos_enc], axis=-1)
     for i in range(4):
-        x = jax.nn.relu(_dense(params[f"trunk1_{i}"], x, precision))
+        x = jax.nn.relu(_dense(params[f"trunk1_{i}"], x, precision, dtype))
     return x
 
 
-def raw_density(params, pts, L_pos=10, precision=None):
+def raw_density(params, pts, L_pos=10, precision=None, dtype=None):
     """Pre-activation density head output (reference ``infer_occ``,
     `model/official_nerf.py:60-67`). Returns (features (M, D), density (M, 1))."""
-    x = _trunk(params, pts, L_pos, precision)
-    density = _dense(params["fc_density"], x, precision)
+    x = _trunk(params, pts, L_pos, precision, dtype)
+    density = _dense(params["fc_density"], x, precision, dtype)
     return x, density
 
 
@@ -122,7 +130,10 @@ def apply_nerf(params, pts, dirs, cfg_model, *, only_occupancy=False,
     """
     L_pos = cfg_model["pos_enc_levels"]
     L_dir = cfg_model["dir_enc_levels"]
-    x, density = raw_density(params, pts, L_pos, precision)
+    # bf16 matmul inputs / f32 accumulation when the config asks for it
+    # (tpu.mlp_bf16, default on for TPU backends — see make_render_cfg)
+    dtype = jnp.bfloat16 if cfg_model.get("mlp_bf16", False) else None
+    x, density = raw_density(params, pts, L_pos, precision, dtype)
     if cfg_model["occ_activation"] == "softplus":
         density = jax.nn.softplus(density)
     else:
@@ -132,10 +143,10 @@ def apply_nerf(params, pts, dirs, cfg_model, *, only_occupancy=False,
     if only_occupancy:
         return density
     dir_enc = encode_position(dirs, levels=L_dir, inc_input=True)
-    feat = _dense(params["fc_feature"], x, precision)
+    feat = _dense(params["fc_feature"], x, precision, dtype)
     h = jnp.concatenate([feat, dir_enc], axis=-1)
-    h = jax.nn.relu(_dense(params["rgb_layer"], h, precision))
-    rgb = jax.nn.sigmoid(_dense(params["fc_rgb"], h, precision))
+    h = jax.nn.relu(_dense(params["rgb_layer"], h, precision, dtype))
+    rgb = jax.nn.sigmoid(_dense(params["fc_rgb"], h, precision, dtype))
     return rgb, density
 
 

@@ -2,16 +2,24 @@
 
 The XLA formulation (ops/chamfer.py) evaluates the (block, D) score tile per
 direction and lets XLA reduce it — at Tanks scale that materialises GBs of
-HBM traffic per step and computes the x·yᵀ dot twice.  This kernel walks the
-(S/T, D/T) tile grid once (j fastest): each (T, T) dot tile is computed on
-the MXU once and reduced in VMEM for BOTH directions —
+HBM traffic per step and computes the x·yᵀ dot twice.
 
-* row argmin of ``yy - 2 x·y`` (X→Y) carried in a (T,) scratch across the
-  j sweep, flushed at j == nj-1;
-* column argmin of ``xx - 2 x·y`` (Y→X) carried in an (nj, T) scratch row
-  per j block across the i sweeps, flushed at i == ni-1.
+Kernel layout (v2): at Tanks scale the whole Y cloud is tiny
+(32,400 x 3 f32 = 389 KB), so Y, yy and the validity vector stay **resident
+in VMEM** for the entire kernel. The grid runs over X blocks only
+(ni = S/TILE_X steps); each grid step sweeps Y in CHUNK_Y slices with an
+in-kernel ``fori_loop`` — no per-tile grid/DMA overhead (the v1 2-D grid
+spent ~60% of its runtime on 1024 grid-step turnarounds):
 
-HBM traffic collapses to the point clouds themselves.  Forward-only (argmin
+* row argmin of ``yy - 2 x·y`` (X→Y) carried through the fori_loop;
+* column argmin of ``xx - 2 x·y`` (Y→X) carried in a (Dp,) VMEM scratch
+  across grid steps, flushed at i == ni-1.
+
+Each (TILE_X, CHUNK_Y) dot tile is computed on the MXU once and reduced for
+BOTH directions. Live VMEM: Y (0.4 MB) + dot/scores slabs (3 x 4 MB) +
+carries — under the ~16 MB/core scoped limit.
+
+HBM traffic collapses to the point clouds themselves. Forward-only (argmin
 indices carry no gradient — `model/losses.py:137-141` semantics); the
 differentiable distance-to-gathered-point happens outside.
 """
@@ -23,64 +31,69 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE = 1024      # X rows per tile
-TILE_Y = 2048    # Y columns per tile (8 MB f32 score tile)
+TILE_X = 1024    # X rows per grid step
+CHUNK_Y = 1024   # Y columns per inner-loop slice (4 MB f32 score slab)
 _BIG = 1e10
 
 
-def _make_kernel():
-    def kernel(x_ref, y_ref, xv_ref, yv_ref, xx_ref, yy_ref,
-               idx_x_ref, idx_y_ref,
-               row_min, row_idx, col_min, col_idx):
+def _make_kernel(nj):
+    def kernel(x_ref, y_ref, xx_ref, yy_ref,
+               idx_x_ref, idx_y_ref, col_min, col_idx):
         i = pl.program_id(0)
-        j = pl.program_id(1)
         ni = pl.num_programs(0)
-        nj = pl.num_programs(1)
-
-        # (T, T) dot tile on the MXU, computed once for both directions
-        dot = lax.dot_general(
-            x_ref[:], y_ref[:], (((1,), (1,)), ((), ())),
-            precision=lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )
-
-        # --- direction X -> Y: row argmin of yy_j - 2 x·y ------------------
-        scores_x = yy_ref[0, :][None, :] - 2.0 * dot
-        scores_x = jnp.where(yv_ref[0, :][None, :] > 0.0, scores_x, _BIG)
-        tile_min = jnp.min(scores_x, axis=1)
-        tile_arg = jnp.argmin(scores_x, axis=1).astype(jnp.int32) + j * TILE_Y
-
-        @pl.when(j == 0)
-        def _():
-            row_min[:] = jnp.full((TILE,), _BIG, jnp.float32)
-            row_idx[:] = jnp.zeros((TILE,), jnp.int32)
-
-        better = tile_min < row_min[:]
-        row_min[:] = jnp.where(better, tile_min, row_min[:])
-        row_idx[:] = jnp.where(better, tile_arg, row_idx[:])
-
-        @pl.when(j == nj - 1)
-        def _():
-            idx_x_ref[i, :] = row_idx[:]
-
-        # --- direction Y -> X: column argmin of xx_i - 2 x·y ---------------
-        scores_y = xx_ref[0, :][:, None] - 2.0 * dot
-        scores_y = jnp.where(xv_ref[0, :][:, None] > 0.0, scores_y, _BIG)
-        tile_min_y = jnp.min(scores_y, axis=0)
-        tile_arg_y = jnp.argmin(scores_y, axis=0).astype(jnp.int32) + i * TILE
 
         @pl.when(i == 0)
         def _():
-            col_min[j, :] = jnp.full((TILE_Y,), _BIG, jnp.float32)
-            col_idx[j, :] = jnp.zeros((TILE_Y,), jnp.int32)
+            col_min[:] = jnp.full(col_min.shape, _BIG, jnp.float32)
+            col_idx[:] = jnp.zeros(col_idx.shape, jnp.int32)
 
-        better_y = tile_min_y < col_min[j, :]
-        col_min[j, :] = jnp.where(better_y, tile_min_y, col_min[j, :])
-        col_idx[j, :] = jnp.where(better_y, tile_arg_y, col_idx[j, :])
+        xn = -2.0 * x_ref[:]   # (TILE_X, 3): fold the -2 into the dot operand
+        xxb = xx_ref[0, :]     # (TILE_X,) |x|² with +BIG baked into invalids
+
+        def body(j, carry):
+            row_min, row_idx = carry
+            ys = y_ref[pl.dslice(j * CHUNK_Y, CHUNK_Y), :]   # (CHUNK_Y, 3)
+            # (TILE_X, CHUNK_Y) -2·x·yᵀ tile on the MXU, used by both
+            # directions; validity is pre-baked into the xx/yy bias vectors
+            # (invalid/padded entries carry +BIG), so the inner loop is one
+            # add + min + argmin per direction — it runs at VPU speed.
+            dotn = lax.dot_general(
+                xn, ys, (((1,), (1,)), ((), ())),
+                precision=lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+
+            # --- direction X -> Y: row argmin of yy_j - 2 x·y -------------
+            yyb = yy_ref[0, pl.dslice(j * CHUNK_Y, CHUNK_Y)]
+            scores_x = yyb[None, :] + dotn
+            tmin = jnp.min(scores_x, axis=1)
+            targ = jnp.argmin(scores_x, axis=1).astype(jnp.int32) + j * CHUNK_Y
+            better = tmin < row_min
+            row_min = jnp.where(better, tmin, row_min)
+            row_idx = jnp.where(better, targ, row_idx)
+
+            # --- direction Y -> X: column argmin of xx_i - 2 x·y ----------
+            scores_y = xxb[:, None] + dotn
+            tmin_y = jnp.min(scores_y, axis=0)
+            targ_y = jnp.argmin(scores_y, axis=0).astype(jnp.int32) + i * TILE_X
+            sl = pl.dslice(j * CHUNK_Y, CHUNK_Y)
+            cm = col_min[sl]
+            ci = col_idx[sl]
+            bet = tmin_y < cm
+            col_min[sl] = jnp.where(bet, tmin_y, cm)
+            col_idx[sl] = jnp.where(bet, targ_y, ci)
+            return row_min, row_idx
+
+        row_min0 = jnp.full((TILE_X,), _BIG, jnp.float32)
+        row_idx0 = jnp.zeros((TILE_X,), jnp.int32)
+        # fori_loop (not unrolled): an unrolled sweep keeps several 4 MB
+        # score slabs live at once and blows the 16 MB scoped-VMEM limit
+        _, row_idx = lax.fori_loop(0, nj, body, (row_min0, row_idx0))
+        idx_x_ref[i, :] = row_idx
 
         @pl.when(i == ni - 1)
         def _():
-            idx_y_ref[j, :] = col_idx[j, :]
+            idx_y_ref[0, :] = col_idx[:]
 
     return kernel
 
@@ -100,55 +113,50 @@ def nearest_idx_pallas(X, Y, x_valid=None, y_valid=None, interpret=False):
     X = lax.stop_gradient(X)
     Y = lax.stop_gradient(Y)
     S, D = X.shape[0], Y.shape[0]
-    Sp = -(-S // TILE) * TILE
-    Dp = -(-D // TILE_Y) * TILE_Y
+    Sp = -(-S // TILE_X) * TILE_X
+    Dp = -(-D // CHUNK_Y) * CHUNK_Y
     Xp = _pad_pts(X, Sp)
     Yp = _pad_pts(Y, Dp)
     xv = _pad_vec(jnp.ones(S) if x_valid is None else x_valid, Sp)
     yv = _pad_vec(jnp.ones(D) if y_valid is None else y_valid, Dp)
-    xx = jnp.sum(Xp * Xp, axis=-1)[None, :]
-    yy = jnp.sum(Yp * Yp, axis=-1)[None, :]
-    xv2 = xv[None, :]
-    yv2 = yv[None, :]
+    # validity baked into the norm biases: invalid/padded entries never win
+    # an argmin (their score is ~_BIG, |2 x·y| << _BIG for any sane cloud)
+    xx = jnp.where(xv > 0.0, jnp.sum(Xp * Xp, axis=-1), _BIG)[None, :]
+    yy = jnp.where(yv > 0.0, jnp.sum(Yp * Yp, axis=-1), _BIG)[None, :]
 
-    ni, nj = Sp // TILE, Dp // TILE_Y
+    ni, nj = Sp // TILE_X, Dp // CHUNK_Y
     idx_x, idx_y = pl.pallas_call(
-        _make_kernel(),
-        grid=(ni, nj),
+        _make_kernel(nj),
+        grid=(ni,),
         in_specs=[
-            pl.BlockSpec((TILE, 3), lambda i, j: (i, 0),
+            pl.BlockSpec((TILE_X, 3), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_Y, 3), lambda i, j: (j, 0),
+            # whole Y cloud resident in VMEM (constant index -> one DMA)
+            pl.BlockSpec((Dp, 3), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE), lambda i, j: (0, i),
+            pl.BlockSpec((1, TILE_X), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_Y), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE), lambda i, j: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_Y), lambda i, j: (0, j),
+            pl.BlockSpec((1, Dp), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         # full-array output blocks (VMEM-resident for the whole kernel):
         # written with dynamic row indices at the flush steps
         out_specs=[
-            pl.BlockSpec((ni, TILE), lambda i, j: (0, 0),
+            pl.BlockSpec((ni, TILE_X), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nj, TILE_Y), lambda i, j: (0, 0),
+            pl.BlockSpec((1, Dp), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((ni, TILE), jnp.int32),
-            jax.ShapeDtypeStruct((nj, TILE_Y), jnp.int32),
+            jax.ShapeDtypeStruct((ni, TILE_X), jnp.int32),
+            jax.ShapeDtypeStruct((1, Dp), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((TILE,), jnp.float32),
-            pltpu.VMEM((TILE,), jnp.int32),
-            pltpu.VMEM((nj, TILE_Y), jnp.float32),
-            pltpu.VMEM((nj, TILE_Y), jnp.int32),
+            pltpu.VMEM((Dp,), jnp.float32),
+            pltpu.VMEM((Dp,), jnp.int32),
         ],
         interpret=interpret,
-    )(Xp, Yp, xv2, yv2, xx, yy)
+    )(Xp, Yp, xx, yy)
     return idx_x.reshape(-1)[:S], idx_y.reshape(-1)[:D]
 
 

@@ -26,7 +26,11 @@ RAY_AXIS = "rays"
 
 def make_ray_mesh(n_devices: int | None = None) -> Mesh:
     """1-D mesh over the first ``n_devices`` devices."""
-    devs = jax.devices()
+    try:
+        devs = jax.devices()
+    except Exception:
+        # default backend unusable (e.g. broken TPU client): CPU fallback
+        devs = jax.devices("cpu")
     if n_devices is not None:
         if len(devs) < n_devices:
             # fall back to the virtual CPU devices

@@ -77,6 +77,27 @@ def scene_device_arrays(scene):
     return imgs, dpts
 
 
+def scene_batch_arrays(scene, cfg):
+    """Scene arrays plus the precomputed pc_ratio resize pyramid.
+
+    The reference resizes two full-res images + two depth maps *every step*
+    (`model/training.py:317-327`); both resizes are params-independent (the
+    per-frame affine distortion commutes with them), so they are computed
+    once here and the step gathers from the small maps.
+    """
+    from ..ops.interp import resize_bilinear, resize_nearest
+
+    imgs, dpts = scene_device_arrays(scene)
+    out = {"imgs": imgs, "dpts": dpts}
+    ratio = cfg["training"]["pc_ratio"]
+    hd, wd = int(dpts.shape[1]), int(dpts.shape[2])
+    sres = (int(hd / ratio), int(wd / ratio))
+    if sres[0] >= 1 and sres[1] >= 1:
+        out["dpts_small"] = jax.vmap(lambda d: resize_nearest(d, sres))(dpts)
+        out["imgs_small"] = jax.vmap(lambda im: resize_bilinear(im, sres))(imgs)
+    return out
+
+
 def restore(checkpoint_io, cfg, params, opt_template=None):
     """Try loading the four streams; missing files start fresh
     (`train.py:64-67` semantics). The main stream also carries the bundled
@@ -162,7 +183,7 @@ def train(cfg, max_epochs=None, scene=None):
 
     if scene is None:
         scene = get_scene(cfg, mode=cfg["training"]["mode"])
-    imgs, dpts = scene_device_arrays(scene)
+    scene_arrs = scene_batch_arrays(scene, cfg)
     n_views = scene.N_imgs
 
     cfg = dict(cfg)
@@ -195,6 +216,8 @@ def train(cfg, max_epochs=None, scene=None):
 
     camera_mat_gt = jnp.asarray(scene.K)
     scale_mat = jnp.asarray(scene.scale_mat)
+    scene_arrs["camera_mat_gt"] = camera_mat_gt
+    scene_arrs["scale_mat"] = scale_mat
 
     print_every = cfg["training"]["print_every"]
     checkpoint_every = cfg["training"]["checkpoint_every"]
@@ -206,6 +229,49 @@ def train(cfg, max_epochs=None, scene=None):
 
     gt_poses = scene.c2ws  # numpy (N, 4, 4) or None
     throughput = Throughput(cfg["training"]["n_training_points"])
+
+    # per-view distortion logging + reprojection dumps (`train.py:195,225-229`,
+    # `model/training.py:344-354`)
+    log_ss_per_view = cfg["training"].get("log_scale_shift_per_view", False)
+    vis_reproj_every = cfg["training"].get("vis_reprojection_every", 0) or 0
+    scale_dict, shift_dict = {}, {}
+    pair_fn_cache = {}
+
+    def dump_pair_images(state, idx, ref_idx, scalars, it):
+        """Save the rgb_s pair (view-1 colours / reprojected view-2 colours)
+        like the reference's `vis_reprojection_every` dump."""
+        if "pair" not in pair_fn_cache:
+            static_pair = (
+                ("pair_images", True), ("render_model", False),
+                ("use_ref", True), ("use_rgb_s", True),
+            )
+            from .trainer import compute_loss
+
+            def pair_aux(params, batch, scalars, rng):
+                return compute_loss(
+                    params, batch, scalars, rng, cfg=cfg,
+                    static=dict(static_pair), init_c2w=init_c2w,
+                    render_cfg=render_cfg,
+                )[1]
+
+            pair_fn_cache["pair"] = jax.jit(pair_aux)
+        batch = dict(scene_arrs)
+        batch["idx"] = jnp.int32(idx)
+        batch["ref_idx"] = jnp.int32(ref_idx)
+        aux = pair_fn_cache["pair"](
+            state.params, batch, scalars, jax.random.PRNGKey(0)
+        )
+        if "rgb_pc1" not in aux:
+            return
+        from PIL import Image
+
+        os.makedirs(render_path, exist_ok=True)
+        for tag, arr in (("img1", aux["rgb_pc1"]),
+                         ("img2", aux["rgb_pc1_proj"])):
+            a = np.clip(np.asarray(arr) * 255.0, 0, 255).astype(np.uint8)
+            Image.fromarray(a).convert("RGB").save(
+                os.path.join(render_path, "%d_%04d_%s.png" % (it, idx, tag))
+            )
 
     epoch_budget = max_epochs
     t0b = time.time()
@@ -236,14 +302,8 @@ def train(cfg, max_epochs=None, scene=None):
             # amortises the ~100 ms tunnel dispatch and syncs once per epoch
             it0 = sched_state.it + 1
             epoch_key = jax.random.fold_in(key, epoch)
-            scene_arrays = {
-                "imgs": imgs,
-                "dpts": dpts,
-                "camera_mat_gt": camera_mat_gt,
-                "scale_mat": scale_mat,
-            }
             state, aux_mean, aux_last = epoch_fn(
-                state, scene_arrays, jnp.asarray(order, jnp.int32),
+                state, scene_arrs, jnp.asarray(order, jnp.int32),
                 jnp.asarray(ref_order), scalars, epoch_key, static,
             )
             sched_state.it += n_views
@@ -253,6 +313,13 @@ def train(cfg, max_epochs=None, scene=None):
             l2_epoch = [float(aux_host["l2_mean"])]
             pc_epoch = [float(aux_host["loss_pc"])]
             rgb_s_epoch = [float(aux_host["loss_rgb_s"])]
+            if log_ss_per_view:
+                ss = jax.device_get(
+                    (aux_last["scale_steps"], aux_last["shift_steps"])
+                )
+                for v_idx, sc, sh in zip(order, ss[0], ss[1]):
+                    scale_dict["view %02d" % v_idx] = float(sc)
+                    shift_dict["view %02d" % v_idx] = float(sh)
             if print_every > 0 and (it // n_views) % max(print_every // max(n_views, 1), 1) == 0:
                 rate = throughput.rate()
                 print(
@@ -265,6 +332,17 @@ def train(cfg, max_epochs=None, scene=None):
                 for tag, v in aux_host.items():
                     logger.add_scalar(f"train/{tag}", float(np.asarray(v)), it)
                 logger.add_scalar("perf/rays_per_sec", rate, it)
+                for vname, v in scale_dict.items():
+                    logger.add_scalar(f"train/scale{vname}", v, it)
+                for vname, v in shift_dict.items():
+                    logger.add_scalar(f"train/shift{vname}", v, it)
+            if (
+                vis_reproj_every > 0
+                and static.get("use_rgb_s")
+                and ((it0 - 1) // vis_reproj_every) != (it // vis_reproj_every)
+            ):
+                dump_pair_images(state, int(order[-1]), int(ref_order[-1]),
+                                 scalars, it)
             if checkpoint_every > 0 and ((it0 - 1) // checkpoint_every) != (it // checkpoint_every):
                 save_all(checkpoint_io, state, sched_state, cfg)
             if backup_every > 0 and ((it0 - 1) // backup_every) != (it // backup_every):
@@ -284,18 +362,22 @@ def train(cfg, max_epochs=None, scene=None):
             for idx, ref_idx in zip(order, ref_order):
                 sched_state.it += 1
                 it = sched_state.it
-                batch = {
-                    "imgs": imgs,
-                    "dpts": dpts,
-                    "idx": jnp.int32(idx),
-                    "ref_idx": jnp.int32(ref_idx),
-                    "camera_mat_gt": camera_mat_gt,
-                    "scale_mat": scale_mat,
-                }
+                batch = dict(scene_arrs)
+                batch["idx"] = jnp.int32(idx)
+                batch["ref_idx"] = jnp.int32(ref_idx)
                 step_key = jax.random.fold_in(key, it)
                 state, aux = step_fn(state, batch, scalars, step_key, static)
                 throughput.tick()
 
+                if log_ss_per_view:
+                    scale_dict["view %02d" % idx] = float(aux["scale"])
+                    shift_dict["view %02d" % idx] = float(aux["shift"])
+                if (
+                    vis_reproj_every > 0
+                    and static.get("use_rgb_s")
+                    and (it % vis_reproj_every) == 0
+                ):
+                    dump_pair_images(state, int(idx), int(ref_idx), scalars, it)
                 if print_every > 0 and (it % print_every) == 0:
                     aux_host = jax.device_get(aux)
                     l2_epoch.append(float(aux_host["l2_mean"]))
@@ -312,6 +394,10 @@ def train(cfg, max_epochs=None, scene=None):
                     for tag, v in aux_host.items():
                         logger.add_scalar(f"train/{tag}", float(np.asarray(v)), it)
                     logger.add_scalar("perf/rays_per_sec", rate, it)
+                    for vname, v in scale_dict.items():
+                        logger.add_scalar(f"train/scale{vname}", v, it)
+                    for vname, v in shift_dict.items():
+                        logger.add_scalar(f"train/shift{vname}", v, it)
                 else:
                     l2_epoch.append(float(aux["l2_mean"]))
                     pc_epoch.append(float(aux["loss_pc"]))

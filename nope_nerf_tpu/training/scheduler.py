@@ -106,6 +106,7 @@ class Scheduler:
         }
         self.decay_every = {"nerf": 10, "pose": 100, "focal": 100,
                             "distortion": 100}
+        self.initial_rgb_loss_type = t.get("rgb_loss_type", "l1")
         self.state = state or ScheduleState(
             scheduling_start=t["scheduling_start"]
         )
@@ -125,9 +126,15 @@ class Scheduler:
         }
 
     def rgb_loss_switch(self, epoch):
-        """-> (w_l1, w_l2) (`model/training.py:211`)."""
+        """-> (w_l1, w_l2) (`model/training.py:211`).
+
+        The pre-switch phase honors the configured ``rgb_loss_type`` (the
+        reference hardcodes 'l1' there, leaving its config key dead; every
+        shipped config sets 'l1', so this is behavior-identical for them).
+        The post-switch phase is always l2, as in the reference.
+        """
         if epoch < self.annealing_epochs + self.state.scheduling_start:
-            return 1.0, 0.0
+            return (0.0, 1.0) if self.initial_rgb_loss_type == "l2" else (1.0, 0.0)
         return 0.0, 1.0
 
     def lrs(self, epoch):

@@ -30,6 +30,7 @@ from ..geometry.rays import (
     arange_pixels,
     camera_mat_from_fxfy,
     project_to_cam,
+    rigid_inv,
     transform_to_world,
 )
 from ..losses import total_loss
@@ -71,19 +72,6 @@ def _apply_distortion(depth, scale, shift, shift_first):
     return depth * scale + shift
 
 
-def build_camera_mat(params, cfg, camera_mat_gt):
-    """Learned-focal camera matrix or the gt one (`model/training.py:247-254`)."""
-    if cfg["pose"]["learn_focal"]:
-        fxfy = focal_fxfy(
-            params["focal"],
-            fx_only=cfg["pose"]["fx_only"],
-            order=cfg["pose"]["focal_order"],
-            req_grad=cfg["pose"]["update_focal"],
-        )
-        return camera_mat_from_fxfy(fxfy)
-    return camera_mat_gt
-
-
 def compute_loss(
     params,
     batch,
@@ -119,39 +107,52 @@ def compute_loss(
     idx = batch["idx"]
     ref_idx = batch["ref_idx"]
     img = batch["imgs"][idx]
-    depth_input = batch["dpts"][idx]
+    depth_raw = batch["dpts"][idx]  # undistorted prior depth (hd, wd)
     camera_mat_gt = batch["camera_mat_gt"]
     scale_mat = batch["scale_mat"]
     H, W, _ = img.shape
+    hd, wd = depth_raw.shape
 
     tcfg = cfg["training"]
     pcfg = cfg["pose"]
     n_points = tcfg["n_training_points"]
     nl = tcfg["nearest_limit"]
     num_cams = cfg["_num_cams"]
+    learn_dist = cfg["distortion"]["learn_distortion"]
 
     # ---- pose / distortion / intrinsics --------------------------------
     if pcfg["learn_pose"]:
         c2w = pose_c2w(params["pose"], idx, init_c2w,
                        pcfg["learn_R"], pcfg["learn_t"])
-        world_mat = jnp.linalg.inv(c2w)
+        world_mat = rigid_inv(c2w)
     else:
+        c2w = jnp.eye(4)
         world_mat = jnp.eye(4)
 
-    if cfg["distortion"]["learn_distortion"]:
+    if learn_dist:
         scale_input, shift_input = distortion_scale_shift(
             params["distortion"], idx, num_cams,
             cfg["distortion"]["fix_scaleN"],
             cfg["distortion"]["learn_scale"], cfg["distortion"]["learn_shift"],
         )
-        depth_input = _apply_distortion(
-            depth_input, scale_input, shift_input, tcfg["shift_first"]
-        )
     else:
         scale_input = jnp.ones((1,))
         shift_input = jnp.zeros((1,))
 
-    camera_mat = build_camera_mat(params, cfg, camera_mat_gt)
+    aux = {}
+    if pcfg["learn_focal"]:
+        fxfy = focal_fxfy(
+            params["focal"],
+            fx_only=pcfg["fx_only"],
+            order=pcfg["focal_order"],
+            req_grad=pcfg["update_focal"],
+        )
+        camera_mat = camera_mat_from_fxfy(fxfy)
+        # `model/training.py:372-374`: focal ratio vs the gt intrinsics
+        aux["focalx"] = fxfy[0] / camera_mat_gt[0, 0]
+        aux["focaly"] = fxfy[1] / camera_mat_gt[1, 1]
+    else:
+        camera_mat = camera_mat_gt
 
     # ---- ray sampling ---------------------------------------------------
     key_rays, key_noise = jax.random.split(rng)
@@ -171,17 +172,29 @@ def compute_loss(
     rgb_gt = img.reshape(-1, 3)[ray_idx]
     # scaled pixel coords straight from the flat indices (O(n_rays); building
     # the full (H*W, 2) grid per step like arange_pixels costs ~2 ms)
-    px = 2.0 * (ray_idx % W).astype(jnp.float32) / (W - 1) - 1.0
-    py = 2.0 * (ray_idx // W).astype(jnp.float32) / (H - 1) - 1.0
+    ray_rows = ray_idx // W
+    ray_cols = ray_idx % W
+    px = 2.0 * ray_cols.astype(jnp.float32) / (W - 1) - 1.0
+    py = 2.0 * ray_rows.astype(jnp.float32) / (H - 1) - 1.0
     p = jnp.stack([px, py], axis=-1)
 
     out = {}
-    aux = {}
     if static["render_model"]:
-        # prior depth resized to image res, gathered at the rays
-        # (`model/network.py:22-25`)
-        depth_resized = resize_nearest(depth_input, (H, W)).reshape(-1)
-        d_rays = depth_resized[ray_idx]
+        # prior depth at the sampled rays (`model/network.py:22-25`): the
+        # reference nearest-resizes the depth map to (H, W) then gathers;
+        # gather ∘ resize_nearest == gather at floor-mapped indices, and the
+        # per-frame affine distortion commutes with both — so only the n
+        # sampled depths are ever distorted (the old path materialised a
+        # full-res distorted + resized map every step).
+        if (hd, wd) == (H, W):
+            didx = ray_idx
+        else:
+            didx = (ray_rows * hd) // H * wd + (ray_cols * wd) // W
+        d_rays = depth_raw.reshape(-1)[didx]
+        if learn_dist:
+            d_rays = _apply_distortion(
+                d_rays, scale_input, shift_input, tcfg["shift_first"]
+            )
         out = render_rays(
             params["nerf"], p, d_rays, camera_mat, world_mat, scale_mat,
             render_cfg, rng=key_noise, add_noise=True, eval_mode=False,
@@ -190,19 +203,14 @@ def compute_loss(
     # ---- reference-image branch (`model/training.py:280-366`) ----------
     loss_kwargs = {}
     if static["use_ref"]:
-        depth_ref = batch["dpts"][ref_idx]
-        ref_img = batch["imgs"][ref_idx]
         c2w_ref = pose_c2w(params["pose"], ref_idx, init_c2w,
                            pcfg["learn_R"], pcfg["learn_t"])
-        if cfg["distortion"]["learn_distortion"]:
+        if learn_dist:
             scale_ref, shift_ref = distortion_scale_shift(
                 params["distortion"], ref_idx, num_cams,
                 cfg["distortion"]["fix_scaleN"],
                 cfg["distortion"]["learn_scale"],
                 cfg["distortion"]["learn_shift"],
-            )
-            depth_ref = _apply_distortion(
-                depth_ref, scale_ref, shift_ref, tcfg["shift_first"]
             )
         else:
             scale_ref = jnp.ones((1,))
@@ -210,29 +218,44 @@ def compute_loss(
         if tcfg["detach_ref_img"]:
             c2w_ref = lax.stop_gradient(c2w_ref)
             scale_ref = lax.stop_gradient(scale_ref)
-            depth_ref = lax.stop_gradient(depth_ref)
-        ref_Rt = jnp.linalg.inv(c2w_ref)
+            shift_ref = lax.stop_gradient(shift_ref)
+        ref_Rt = rigid_inv(c2w_ref)
 
         # frame ordering: pair is (earlier=1, later=2)
-        # (`model/training.py:296-313`) — static shapes via where-select
+        # (`model/training.py:296-313`) — static shapes via where-select.
+        # The reference's inverse chains cancel on rigid transforms:
+        # inv(world_mat) == c2w and inv(ref_Rt) == c2w_ref, so no 4x4 LU
+        # solves survive here (`model/training.py:302,310`).
         swap = idx >= (num_cams - 1)
-        d1 = jnp.where(swap, depth_ref, depth_input)
-        d2 = jnp.where(swap, depth_input, depth_ref)
-        img1 = jnp.where(swap, ref_img, img)
-        img2 = jnp.where(swap, img, ref_img)
-        rt_fwd = jnp.matmul(ref_Rt, jnp.linalg.inv(world_mat), precision=_HI)
-        rt_bwd = jnp.matmul(world_mat, jnp.linalg.inv(ref_Rt), precision=_HI)
+        rt_fwd = jnp.matmul(ref_Rt, c2w, precision=_HI)
+        rt_bwd = jnp.matmul(world_mat, c2w_ref, precision=_HI)
         Rt_rel_12 = jnp.where(swap, rt_bwd, rt_fwd)
         R_rel_12 = Rt_rel_12[:3, :3]
         t_rel_12 = Rt_rel_12[:3, 3]
         scale2 = jnp.where(swap, scale_input, scale_ref)
 
         ratio = tcfg["pc_ratio"]
-        hd, wd = depth_input.shape
         sres = (int(hd / ratio), int(wd / ratio))
         _, p_pc = arange_pixels(sres)
-        d1s = resize_nearest(d1, sres)
-        d2s = resize_nearest(d2, sres)
+        # The per-frame affine distortion commutes with the nearest resize,
+        # and the scalar swap-select commutes with any resize — so the resized
+        # *raw* maps can be precomputed once per scene (batch['dpts_small'] /
+        # batch['imgs_small'], see loop.scene_device_arrays) instead of
+        # resizing two full-res maps every step.
+        if "dpts_small" in batch:
+            dsm_cur = batch["dpts_small"][idx]
+            dsm_ref = batch["dpts_small"][ref_idx]
+        else:
+            dsm_cur = resize_nearest(depth_raw, sres)
+            dsm_ref = resize_nearest(batch["dpts"][ref_idx], sres)
+        d1s = jnp.where(swap, dsm_ref, dsm_cur)
+        d2s = jnp.where(swap, dsm_cur, dsm_ref)
+        if learn_dist:
+            scale1 = jnp.where(swap, scale_ref, scale_input)
+            shift1 = jnp.where(swap, shift_ref, shift_input)
+            shift2 = jnp.where(swap, shift_input, shift_ref)
+            d1s = _apply_distortion(d1s, scale1, shift1, tcfg["shift_first"])
+            d2s = _apply_distortion(d2s, scale2, shift2, tcfg["shift_first"])
         d1s = jnp.maximum(d1s, nl)
         d2s = jnp.maximum(d2s, nl)
         pc1 = transform_to_world(p_pc, d1s.reshape(-1), camera_mat)
@@ -244,10 +267,18 @@ def compute_loss(
             pc2 = shard_rays(pc2, mesh)
 
         if static["use_rgb_s"]:
-            img1s = resize_bilinear(img1, sres)
-            img2s = resize_bilinear(img2, sres)
-            rgb_pc1 = grid_sample(img1s, p_pc, mode="bilinear",
-                                  align_corners=True)
+            if "imgs_small" in batch:
+                ism_cur = batch["imgs_small"][idx]
+                ism_ref = batch["imgs_small"][ref_idx]
+            else:
+                ism_cur = resize_bilinear(img, sres)
+                ism_ref = resize_bilinear(batch["imgs"][ref_idx], sres)
+            img1s = jnp.where(swap, ism_ref, ism_cur)
+            img2s = jnp.where(swap, ism_cur, ism_ref)
+            # get_tensor_values(img1s, arange_pixels(sres),
+            # align_corners=True) lands on exact integer pixel centers —
+            # an identity sample (`model/training.py:328`), so no gather
+            rgb_pc1 = img1s
             pc1_for_rgb = (
                 lax.stop_gradient(pc1) if tcfg["detach_rgbs_scale"] else pc1
             )
@@ -261,11 +292,17 @@ def compute_loss(
             p_reproj, valid = project_to_cam(pc1_rot, camera_mat)
             rgb_pc1_proj = grid_sample(img2s, p_reproj, mode="bilinear",
                                        align_corners=True)
-            loss_kwargs["rgb_pc1"] = rgb_pc1.reshape(sres[0], sres[1], 3)
+            loss_kwargs["rgb_pc1"] = rgb_pc1
             loss_kwargs["rgb_pc1_proj"] = rgb_pc1_proj.reshape(sres[0], sres[1], 3)
             loss_kwargs["valid_points"] = valid.astype(jnp.float32).reshape(
                 sres[0], sres[1], 1
             )
+            if tcfg.get("with_auto_mask", False):
+                # the reference's auto-mask (`model/losses.py:70-72`): keep a
+                # point only where the *warped* view-2 colour explains view 1
+                # better than the unwarped one; img2s is view 2 at the
+                # identity grid (the rgb_ref_ori analogue)
+                loss_kwargs["rgb_pc1_ori"] = img2s
 
         pc1 = jnp.matmul(pc1, R_rel_12.T, precision=_HI) + t_rel_12
         if tcfg["scale_pcs"]:
@@ -298,11 +335,16 @@ def compute_loss(
             and mesh is None  # GSPMD path keeps the XLA impl
             and jax.default_backend() == "tpu"
         ),
+        with_auto_mask=tcfg.get("with_auto_mask", False),
         **loss_kwargs,
     )
-    aux = dict(loss_dict)
+    aux.update(loss_dict)
     aux["scale"] = scale_input[0]
     aux["shift"] = shift_input[0]
+    if static.get("pair_images", False) and "rgb_pc1" in loss_kwargs:
+        # reprojection-pair debug dumps (`model/training.py:344-354`)
+        aux["rgb_pc1"] = loss_kwargs["rgb_pc1"]
+        aux["rgb_pc1_proj"] = loss_kwargs["rgb_pc1_proj"]
     return loss_dict["loss"], aux
 
 
@@ -423,6 +465,10 @@ def make_epoch_step(cfg, render_cfg, init_c2w=None, mesh=None):
         )
         aux_mean = jax.tree.map(lambda x: jnp.mean(x, axis=0), auxs)
         aux_last = jax.tree.map(lambda x: x[-1], auxs)
+        # per-step distortion scalars for `log_scale_shift_per_view`
+        # (`train.py:195,216-217,225-229`)
+        aux_last["scale_steps"] = auxs["scale"]
+        aux_last["shift_steps"] = auxs["shift"]
         return state, aux_mean, aux_last
 
     def run(state, scene_arrays, idxs, ref_idxs, scalars, rng, static):
@@ -442,6 +488,7 @@ def make_render_cfg(cfg):
     path, so the bound defaults to 2M points here and only kicks in for
     genuinely huge ray batches. Override via ``tpu.n_max_network_queries``.
     """
+    tpu_cfg = cfg.get("tpu", {}) or {}
     rc = dict(cfg["rendering"])
     rc.update(
         {
@@ -449,8 +496,14 @@ def make_render_cfg(cfg):
             "pos_enc_levels": cfg["model"]["pos_enc_levels"],
             "dir_enc_levels": cfg["model"]["dir_enc_levels"],
             "hidden_dim": cfg["model"]["hidden_dim"],
-            "n_max_network_queries": cfg.get("tpu", {}).get(
+            "n_max_network_queries": tpu_cfg.get(
                 "n_max_network_queries", 2**21
+            ),
+            # bf16 MLP matmuls (f32 accumulation): ~3x the f32 fwd+bwd rate on
+            # the MXU; defaults on for TPU backends, off elsewhere (CPU tests
+            # keep f32). Set tpu.mlp_bf16 explicitly to override.
+            "mlp_bf16": tpu_cfg.get(
+                "mlp_bf16", jax.default_backend() == "tpu"
             ),
         }
     )
