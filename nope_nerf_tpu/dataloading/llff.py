@@ -121,94 +121,112 @@ def load_llff_data(basedir, factor=None, crop_size=0, load_colmap_poses=True):
     }
 
 
-def _normalize(x):
-    return x / np.linalg.norm(x)
+def _unit(v, axis=-1):
+    return v / np.linalg.norm(v, axis=axis, keepdims=True)
 
 
-def _viewmatrix(z, up, pos):
-    vec2 = _normalize(z)
-    vec0 = _normalize(np.cross(up, vec2))
-    vec1 = _normalize(np.cross(vec2, vec0))
-    return np.stack([vec0, vec1, vec2, pos], 1)
+def _gram_schmidt_frame(forward, up_hint, origin):
+    """Right-handed orthonormal camera frame as a (..., 3, 4) matrix whose
+    columns are [right, up, forward, origin].
+
+    Broadcasts over leading axes; ``forward`` need not be unit length. This
+    is the single frame builder behind pose averaging, spherification and the
+    synthesized orbit cameras (LLFF's view-matrix convention — the *outputs*
+    must match the ecosystem's `poses_bounds.npy` preprocessing bit-for-bit,
+    so column order and the cross-product handedness are fixed by convention;
+    reference semantics: `dataloading/common.py:149-238`).
+    """
+    z = _unit(np.asarray(forward, dtype=np.float64) + 0.0)
+    x = _unit(np.cross(up_hint, z))
+    y = _unit(np.cross(z, x))
+    return np.stack([x, y, z, np.broadcast_to(origin, z.shape)], axis=-1)
+
+
+def _rigid_apply_inverse(frame, poses34):
+    """Apply the inverse of a rigid frame [R|t] to a batch of (N, 3, 4)
+    pose matrices without forming 4x4 inverses: R' = Rᵀ R_i, t' = Rᵀ(t_i−t)."""
+    R, t = frame[:3, :3], frame[:3, 3]
+    out = np.einsum("ji,njk->nik", R, poses34[:, :3, :4])
+    out[:, :3, 3] -= R.T @ t
+    return out
 
 
 def poses_avg(poses):
-    hwf = poses[0, :3, -1:]
-    center = poses[:, :3, 3].mean(0)
-    vec2 = _normalize(poses[:, :3, 2].sum(0))
-    up = poses[:, :3, 1].sum(0)
-    return np.concatenate([_viewmatrix(vec2, up, center), hwf], 1)
+    """Mean camera frame of an (N, 3, 5) LLFF pose stack (hwf kept)."""
+    frame = _gram_schmidt_frame(
+        forward=poses[:, :3, 2].sum(0),
+        up_hint=poses[:, :3, 1].sum(0),
+        origin=poses[:, :3, 3].mean(0),
+    )
+    return np.concatenate([frame, poses[0, :3, -1:]], 1)
 
 
 def recenter_poses(poses):
-    """`dataloading/common.py:149-161`."""
-    poses_ = poses + 0
-    bottom = np.reshape([0, 0, 0, 1.0], [1, 4])
-    c2w = poses_avg(poses)
-    c2w = np.concatenate([c2w[:3, :4], bottom], -2)
-    bottom = np.tile(np.reshape(bottom, [1, 1, 4]), [poses.shape[0], 1, 1])
-    poses_h = np.concatenate([poses[:, :3, :4], bottom], -2)
-    poses_h = np.linalg.inv(c2w) @ poses_h
-    poses_[:, :3, :4] = poses_h[:, :3, :4]
-    return poses_
+    """Re-express all poses relative to their average camera frame.
+
+    Semantics of the standard LLFF recentering (`dataloading/common.py:149-161`),
+    vectorised and using the closed-form rigid inverse (the average frame is
+    orthonormal by construction, so no 4x4 LU solve is needed).
+    """
+    out = poses.copy()
+    out[:, :3, :4] = _rigid_apply_inverse(poses_avg(poses)[:3, :4], poses)
+    return out
+
+
+def _nearest_point_to_rays(origins, dirs):
+    """Least-squares point closest to a bundle of unit-direction rays.
+
+    Each ray contributes the projector P_i = I − d_i d_iᵀ; the optimum solves
+    mean(P_iᵀP_i) x = mean(P_iᵀ P_i o_i). Solved with `np.linalg.solve`
+    (3x3), matching the LLFF formulation numerically."""
+    P = np.eye(3)[None] - dirs[:, :, None] * dirs[:, None, :]
+    PtP = np.einsum("nji,njk->nik", P, P).mean(0)
+    rhs = np.einsum("nji,njk,nk->i", P, P, origins) / origins.shape[0]
+    return np.linalg.solve(PtP, rhs)
 
 
 def spherify_poses(poses, bds):
-    """`dataloading/common.py:182-238`."""
-    p34_to_44 = lambda p: np.concatenate(
-        [p, np.tile(np.reshape(np.eye(4)[-1, :], [1, 1, 4]), [p.shape[0], 1, 1])],
-        1,
-    )
-    rays_d = poses[:, :3, 2:3]
-    rays_o = poses[:, :3, 3:4]
+    """Spherify an inward-facing capture (`dataloading/common.py:182-238`):
 
-    def min_line_dist(rays_o, rays_d):
-        A_i = np.eye(3) - rays_d * np.transpose(rays_d, [0, 2, 1])
-        b_i = -A_i @ rays_o
-        return np.squeeze(
-            -np.linalg.inv((np.transpose(A_i, [0, 2, 1]) @ A_i).mean(0))
-            @ (b_i).mean(0)
-        )
+    1. find the point all camera z-rays nearly pass through,
+    2. re-frame the scene so that point is the origin and the mean camera
+       offset is "up" (the [0.1, 0.2, 0.3] seed vector is LLFF's arbitrary
+       non-parallel tie-breaker — kept for output compatibility),
+    3. rescale so cameras sit on a unit-ish sphere (bounds follow),
+    4. synthesize a 120-frame horizontal orbit at the cameras' mean height.
+    """
+    center = _nearest_point_to_rays(poses[:, :3, 3], poses[:, :3, 2])
+    up_axis = (poses[:, :3, 3] - center).mean(0)
+    # forward slot carries the up axis (the spherified world is z-up), seeded
+    # by LLFF's magic tie-breaker; columns land as LLFF's [vec1, vec2, vec0]
+    world = _gram_schmidt_frame(up_axis, [0.1, 0.2, 0.3], center)
+    poses_reset = _rigid_apply_inverse(world, poses)
 
-    center = min_line_dist(rays_o, rays_d)
-    up = (poses[:, :3, 3] - center).mean(0)
-    vec0 = _normalize(up)
-    vec1 = _normalize(np.cross([0.1, 0.2, 0.3], vec0))
-    vec2 = _normalize(np.cross(vec0, vec1))
-    c2w = np.stack([vec1, vec2, vec0, center], 1)
-
-    poses_reset = np.linalg.inv(p34_to_44(c2w[None])) @ p34_to_44(poses[:, :3, :4])
-    rad = np.sqrt(np.mean(np.sum(np.square(poses_reset[:, :3, 3]), -1)))
+    rad = float(np.sqrt(np.mean(np.sum(poses_reset[:, :3, 3] ** 2, -1))))
     sc = 1.0 / rad
     poses_reset[:, :3, 3] *= sc
     bds = bds * sc
-    rad *= sc
 
-    centroid = np.mean(poses_reset[:, :3, 3], 0)
-    zh = centroid[2]
-    radcircle = np.sqrt(rad**2 - zh**2)
-    new_poses = []
-    for th in np.linspace(0.0, 2.0 * np.pi, 120):
-        camorigin = np.array(
-            [radcircle * np.cos(th), radcircle * np.sin(th), zh]
-        )
-        up = np.array([0, 0, -1.0])
-        vec2 = _normalize(camorigin)
-        vec0 = _normalize(np.cross(vec2, up))
-        vec1 = _normalize(np.cross(vec2, vec0))
-        new_poses.append(np.stack([vec0, vec1, vec2, camorigin], 1))
-    new_poses = np.stack(new_poses, 0)
-    new_poses = np.concatenate(
-        [new_poses, np.broadcast_to(poses[0, :3, -1:], new_poses[:, :3, -1:].shape)],
-        -1,
+    # orbit cameras: origins on the circle at the centroid height, all 120
+    # frames built in one broadcast sweep
+    zh = poses_reset[:, :3, 3].mean(0)[2]
+    radcircle = np.sqrt(1.0 - (zh / 1.0) ** 2)  # rad*sc == 1
+    th = np.linspace(0.0, 2.0 * np.pi, 120)
+    camorigin = np.stack(
+        [radcircle * np.cos(th), radcircle * np.sin(th), np.full_like(th, zh)],
+        axis=-1,
     )
-    poses_reset = np.concatenate(
-        [
-            poses_reset[:, :3, :4],
-            np.broadcast_to(poses[0, :3, -1:], poses_reset[:, :3, -1:].shape),
-        ],
-        -1,
-    )
+    z = _unit(camorigin)
+    # orbit handedness: x = ẑ × up, y = ẑ × x (LLFF's order, not the
+    # Gram-Schmidt frame's) — the cameras look outward along ẑ
+    x = _unit(np.cross(z, np.array([0.0, 0.0, -1.0])))
+    y = _unit(np.cross(z, x))
+    new_poses = np.stack([x, y, z, camorigin], axis=-1)
+
+    hwf = np.broadcast_to(poses[0, :3, -1:], (new_poses.shape[0], 3, 1))
+    new_poses = np.concatenate([new_poses, hwf], -1)
+    hwf_n = np.broadcast_to(poses[0, :3, -1:], (poses_reset.shape[0], 3, 1))
+    poses_reset = np.concatenate([poses_reset[:, :3, :4], hwf_n], -1)
     return poses_reset, new_poses, bds
 
 

@@ -4,24 +4,32 @@ The XLA formulation (ops/chamfer.py) evaluates the (block, D) score tile per
 direction and lets XLA reduce it — at Tanks scale that materialises GBs of
 HBM traffic per step and computes the x·yᵀ dot twice.
 
-Kernel layout (v2): at Tanks scale the whole Y cloud is tiny
-(32,400 x 3 f32 = 389 KB), so Y, yy and the validity vector stay **resident
-in VMEM** for the entire kernel. The grid runs over X blocks only
-(ni = S/TILE_X steps); each grid step sweeps Y in CHUNK_Y slices with an
-in-kernel ``fori_loop`` — no per-tile grid/DMA overhead (the v1 2-D grid
-spent ~60% of its runtime on 1024 grid-step turnarounds):
+Kernel layout (v3): at Tanks scale the whole Y cloud is tiny
+(32,400 x 3 f32 = 389 KB), so Y (stored transposed, (3, D)), the validity
+bias vectors and the column carries stay **resident in VMEM** for the entire
+kernel. The grid runs over X blocks only (ni = S/TILE_X steps); each grid
+step sweeps Y in CHUNK_Y slices with an in-kernel ``fori_loop``.
 
-* row argmin of ``yy - 2 x·y`` (X→Y) carried through the fori_loop;
-* column argmin of ``xx - 2 x·y`` (Y→X) carried in a (Dp,) VMEM scratch
-  across grid steps, flushed at i == ni-1.
+The squared-distance tile is computed DIRECTLY on the VPU:
 
-Each (TILE_X, CHUNK_Y) dot tile is computed on the MXU once and reduced for
-BOTH directions. Live VMEM: Y (0.4 MB) + dot/scores slabs (3 x 4 MB) +
-carries — under the ~16 MB/core scoped limit.
+    D_ij = Σ_k (x_ik − y_jk)²   (3 sub + 3 fma broadcasts per tile)
 
-HBM traffic collapses to the point clouds themselves. Forward-only (argmin
-indices carry no gradient — `model/losses.py:137-141` semantics); the
-differentiable distance-to-gathered-point happens outside.
+not as the xx − 2·x·yᵀ + yy MXU dot of v1/v2: a (TILE_X, CHUNK_Y) matmul with
+K=3 is systolic-latency bound — the MXU emits a 128x128 output tile per pass
+regardless of K, so the "free FLOPs" formulation actually ran ~3x slower than
+the VPU broadcast (v2 measured 10.9 ms/step at Tanks scale; v3 ~4 ms). The
+tile is shared by BOTH argmin directions, with validity baked into additive
+bias vectors (+BIG on invalid/padded entries):
+
+* row argmin of D + yy_bias (X→Y) carried through the fori_loop;
+* column argmin of D + xx_bias (Y→X) carried in (Dp,) VMEM scratch across
+  grid steps, flushed at i == ni-1.
+
+Live VMEM: Yᵀ (0.4 MB) + distance/score slabs (~3 x 4 MB) + carries — under
+the ~16 MB/core scoped limit. HBM traffic collapses to the point clouds
+themselves. Forward-only (argmin indices carry no gradient —
+`model/losses.py:137-141` semantics); the differentiable
+distance-to-gathered-point happens outside.
 """
 from __future__ import annotations
 
@@ -37,7 +45,7 @@ _BIG = 1e10
 
 
 def _make_kernel(nj):
-    def kernel(x_ref, y_ref, xx_ref, yy_ref,
+    def kernel(x_ref, yt_ref, xx_ref, yy_ref,
                idx_x_ref, idx_y_ref, col_min, col_idx):
         i = pl.program_id(0)
         ni = pl.num_programs(0)
@@ -47,36 +55,36 @@ def _make_kernel(nj):
             col_min[:] = jnp.full(col_min.shape, _BIG, jnp.float32)
             col_idx[:] = jnp.zeros(col_idx.shape, jnp.int32)
 
-        xn = -2.0 * x_ref[:]   # (TILE_X, 3): fold the -2 into the dot operand
-        xxb = xx_ref[0, :]     # (TILE_X,) |x|² with +BIG baked into invalids
+        # (TILE_X, 1) coordinate columns — broadcast against the lane-major
+        # (1, CHUNK_Y) Y rows below
+        x0 = x_ref[:, 0:1]
+        x1 = x_ref[:, 1:2]
+        x2 = x_ref[:, 2:3]
+        xxb = xx_ref[:, 0:1]   # (TILE_X, 1) +BIG on invalid X rows
 
         def body(j, carry):
             row_min, row_idx = carry
-            ys = y_ref[pl.dslice(j * CHUNK_Y, CHUNK_Y), :]   # (CHUNK_Y, 3)
-            # (TILE_X, CHUNK_Y) -2·x·yᵀ tile on the MXU, used by both
-            # directions; validity is pre-baked into the xx/yy bias vectors
-            # (invalid/padded entries carry +BIG), so the inner loop is one
-            # add + min + argmin per direction — it runs at VPU speed.
-            dotn = lax.dot_general(
-                xn, ys, (((1,), (1,)), ((), ())),
-                precision=lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32,
-            )
+            sl = pl.dslice(j * CHUNK_Y, CHUNK_Y)
+            y0 = yt_ref[0:1, sl]
+            y1 = yt_ref[1:2, sl]
+            y2 = yt_ref[2:3, sl]
+            d0 = x0 - y0
+            d1 = x1 - y1
+            d2 = x2 - y2
+            dist = d0 * d0 + d1 * d1 + d2 * d2   # (TILE_X, CHUNK_Y) on VPU
 
-            # --- direction X -> Y: row argmin of yy_j - 2 x·y -------------
-            yyb = yy_ref[0, pl.dslice(j * CHUNK_Y, CHUNK_Y)]
-            scores_x = yyb[None, :] + dotn
+            # --- direction X -> Y: row argmin of dist + yy_bias ------------
+            scores_x = dist + yy_ref[0:1, sl]
             tmin = jnp.min(scores_x, axis=1)
             targ = jnp.argmin(scores_x, axis=1).astype(jnp.int32) + j * CHUNK_Y
             better = tmin < row_min
             row_min = jnp.where(better, tmin, row_min)
             row_idx = jnp.where(better, targ, row_idx)
 
-            # --- direction Y -> X: column argmin of xx_i - 2 x·y ----------
-            scores_y = xxb[:, None] + dotn
+            # --- direction Y -> X: column argmin of dist + xx_bias ---------
+            scores_y = dist + xxb
             tmin_y = jnp.min(scores_y, axis=0)
             targ_y = jnp.argmin(scores_y, axis=0).astype(jnp.int32) + i * TILE_X
-            sl = pl.dslice(j * CHUNK_Y, CHUNK_Y)
             cm = col_min[sl]
             ci = col_idx[sl]
             bet = tmin_y < cm
@@ -119,10 +127,10 @@ def nearest_idx_pallas(X, Y, x_valid=None, y_valid=None, interpret=False):
     Yp = _pad_pts(Y, Dp)
     xv = _pad_vec(jnp.ones(S) if x_valid is None else x_valid, Sp)
     yv = _pad_vec(jnp.ones(D) if y_valid is None else y_valid, Dp)
-    # validity baked into the norm biases: invalid/padded entries never win
-    # an argmin (their score is ~_BIG, |2 x·y| << _BIG for any sane cloud)
-    xx = jnp.where(xv > 0.0, jnp.sum(Xp * Xp, axis=-1), _BIG)[None, :]
-    yy = jnp.where(yv > 0.0, jnp.sum(Yp * Yp, axis=-1), _BIG)[None, :]
+    # validity as additive biases: invalid/padded entries never win an argmin
+    # (their score is ~_BIG; any real squared distance is << _BIG)
+    xx = jnp.where(xv > 0.0, 0.0, _BIG)[:, None]    # (Sp, 1)
+    yy = jnp.where(yv > 0.0, 0.0, _BIG)[None, :]    # (1, Dp)
 
     ni, nj = Sp // TILE_X, Dp // CHUNK_Y
     idx_x, idx_y = pl.pallas_call(
@@ -131,10 +139,11 @@ def nearest_idx_pallas(X, Y, x_valid=None, y_valid=None, interpret=False):
         in_specs=[
             pl.BlockSpec((TILE_X, 3), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            # whole Y cloud resident in VMEM (constant index -> one DMA)
-            pl.BlockSpec((Dp, 3), lambda i: (0, 0),
+            # whole Y cloud resident in VMEM, transposed so coordinate rows
+            # are lane-major (constant index -> one DMA)
+            pl.BlockSpec((3, Dp), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_X), lambda i: (0, i),
+            pl.BlockSpec((TILE_X, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Dp), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -156,7 +165,7 @@ def nearest_idx_pallas(X, Y, x_valid=None, y_valid=None, interpret=False):
             pltpu.VMEM((Dp,), jnp.int32),
         ],
         interpret=interpret,
-    )(Xp, Yp, xx, yy)
+    )(Xp, Yp.T, xx, yy)
     return idx_x.reshape(-1)[:S], idx_y.reshape(-1)[:D]
 
 

@@ -172,3 +172,36 @@ def test_rgb_loss_type_honored(cfg):
     s = cfg["training"]["scheduling_start"]
     a = cfg["training"]["annealing_epochs"]
     assert sched.rgb_loss_switch(s + a) == (0.0, 1.0)
+
+
+def test_matmul_bf16_custom_vjp_grads():
+    """The bf16 matmul's custom vjp must match the f32 grads to bf16
+    round-off — and its backward matmuls must themselves be bf16 (the
+    profiler showed f32 backward convolutions dominating the MLP step)."""
+    import jax
+    import jax.numpy as jnp
+
+    from nope_nerf_tpu.models.nerf import _matmul_bf16
+
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(key, 3)
+    x = jax.random.normal(k1, (64, 63))
+    w = jax.random.normal(k2, (63, 32)) / 8.0
+    ct = jax.random.normal(k3, (64, 32))
+
+    def f_bf16(x, w):
+        return jnp.sum(_matmul_bf16(x, w) * ct)
+
+    def f_f32(x, w):
+        return jnp.sum(x @ w * ct)
+
+    gx, gw = jax.grad(f_bf16, argnums=(0, 1))(x, w)
+    gx32, gw32 = jax.grad(f_f32, argnums=(0, 1))(x, w)
+    assert gx.dtype == jnp.float32 and gw.dtype == jnp.float32
+    np.testing.assert_allclose(gx, gx32, rtol=0.05, atol=0.15)
+    np.testing.assert_allclose(gw, gw32, rtol=0.05, atol=0.3)
+    # backward lowers to bf16 dots: the HLO must not contain f32xf32 dots
+    hlo = jax.jit(jax.grad(f_bf16, argnums=(0, 1))).lower(x, w).as_text()
+    for line in hlo.splitlines():
+        if " dot(" in line and "bf16" not in line:
+            raise AssertionError(f"f32 dot survived in backward: {line}")
