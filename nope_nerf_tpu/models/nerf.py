@@ -85,21 +85,26 @@ def _matmul_bf16(x, w):
     AND backward. Without the custom vjp the cotangent is f32, so XLA
     promotes the two backward matmuls (dx = g wᵀ, dw = xᵀ g) to f32
     convolutions at ~1/3 the MXU rate — the profiler showed them dominating
-    the MLP's step time."""
+    the MLP's step time. dx comes back in x's dtype (bf16 activations stay
+    bf16 through the backward chain); dw is f32 for the Adam update."""
     return _dot_f32(x.astype(jnp.bfloat16), w.astype(jnp.bfloat16))
 
 
 def _matmul_bf16_fwd(x, w):
     xb = x.astype(jnp.bfloat16)
     wb = w.astype(jnp.bfloat16)
-    return _dot_f32(xb, wb), (xb, wb)
+    # zero-size dtype witnesses: the cotangents must come back in the
+    # primal dtypes (residuals must be arrays, not dtype objects)
+    wit_x = jnp.zeros((0,), x.dtype)
+    wit_w = jnp.zeros((0,), w.dtype)
+    return _dot_f32(xb, wb), (xb, wb, wit_x, wit_w)
 
 
 def _matmul_bf16_bwd(res, g):
-    xb, wb = res
+    xb, wb, wit_x, wit_w = res
     gb = g.astype(jnp.bfloat16)
-    dx = _dot_f32(gb, wb.T)
-    dw = _dot_f32(xb.T, gb)
+    dx = _dot_f32(gb, wb.T).astype(wit_x.dtype)
+    dw = _dot_f32(xb.T, gb).astype(wit_w.dtype)
     return dx, dw
 
 
@@ -108,11 +113,14 @@ _matmul_bf16.defvjp(_matmul_bf16_fwd, _matmul_bf16_bwd)
 
 def _dense(p, x, precision=None, dtype=None):
     """Linear layer. With ``dtype=bfloat16`` all three matmuls (fwd, dx, dw)
-    run with bf16 operands and f32 MXU accumulation — ~4x the f32 matmul rate
-    and half the HBM activation traffic on TPU; bias add and activation
-    stay f32."""
+    run with bf16 operands and f32 MXU accumulation (~4x the f32 matmul
+    rate), and the OUTPUT is cast back to bf16: at 131k-point batches the
+    MLP is HBM-bandwidth bound on its (M, 256) activations (profiler:
+    268 MB ≈ 0.33 ms per layer fusion in f32), so activations stay bf16
+    end-to-end and only the per-point head outputs return to f32."""
     if dtype == jnp.bfloat16:
-        return _matmul_bf16(x, p["w"]) + p["b"]
+        y = _matmul_bf16(x, p["w"]) + p["b"]
+        return y.astype(jnp.bfloat16)
     w = p["w"]
     if dtype is not None:
         x = x.astype(dtype)
@@ -122,6 +130,8 @@ def _dense(p, x, precision=None, dtype=None):
 
 def _trunk(params, pts, L_pos, precision, dtype=None):
     pos_enc = encode_position(pts, levels=L_pos, inc_input=True)
+    if dtype is not None:
+        pos_enc = pos_enc.astype(dtype)
     x = pos_enc
     for i in range(4):
         x = jax.nn.relu(_dense(params[f"trunk0_{i}"], x, precision, dtype))
@@ -133,10 +143,12 @@ def _trunk(params, pts, L_pos, precision, dtype=None):
 
 def raw_density(params, pts, L_pos=10, precision=None, dtype=None):
     """Pre-activation density head output (reference ``infer_occ``,
-    `model/official_nerf.py:60-67`). Returns (features (M, D), density (M, 1))."""
+    `model/official_nerf.py:60-67`). Returns (features (M, D), density (M, 1));
+    the density scalar returns to f32 (the features stay in the compute
+    dtype for the rgb head)."""
     x = _trunk(params, pts, L_pos, precision, dtype)
     density = _dense(params["fc_density"], x, precision, dtype)
-    return x, density
+    return x, density.astype(jnp.float32)
 
 
 def apply_nerf(params, pts, dirs, cfg_model, *, only_occupancy=False,
@@ -173,10 +185,14 @@ def apply_nerf(params, pts, dirs, cfg_model, *, only_occupancy=False,
     if only_occupancy:
         return density
     dir_enc = encode_position(dirs, levels=L_dir, inc_input=True)
+    if dtype is not None:
+        dir_enc = dir_enc.astype(dtype)
     feat = _dense(params["fc_feature"], x, precision, dtype)
     h = jnp.concatenate([feat, dir_enc], axis=-1)
     h = jax.nn.relu(_dense(params["rgb_layer"], h, precision, dtype))
-    rgb = jax.nn.sigmoid(_dense(params["fc_rgb"], h, precision, dtype))
+    rgb = jax.nn.sigmoid(
+        _dense(params["fc_rgb"], h, precision, dtype).astype(jnp.float32)
+    )
     return rgb, density
 
 

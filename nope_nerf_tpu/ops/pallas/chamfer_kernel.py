@@ -5,10 +5,10 @@ direction and lets XLA reduce it — at Tanks scale that materialises GBs of
 HBM traffic per step and computes the x·yᵀ dot twice.
 
 Kernel layout (v3): at Tanks scale the whole Y cloud is tiny
-(32,400 x 3 f32 = 389 KB), so Y (stored transposed, (3, D)), the validity
-bias vectors and the column carries stay **resident in VMEM** for the entire
-kernel. The grid runs over X blocks only (ni = S/TILE_X steps); each grid
-step sweeps Y in CHUNK_Y slices with an in-kernel ``fori_loop``.
+(32,400 x 3 f32 = 389 KB), so Y (stored transposed, (3, D)) and the column
+carries stay **resident in VMEM** for the entire kernel. The grid runs over
+X blocks only (ni = S/TILE_X steps); each grid step sweeps Y in CHUNK_Y
+slices with an in-kernel ``fori_loop``.
 
 The squared-distance tile is computed DIRECTLY on the VPU:
 
@@ -16,17 +16,26 @@ The squared-distance tile is computed DIRECTLY on the VPU:
 
 not as the xx − 2·x·yᵀ + yy MXU dot of v1/v2: a (TILE_X, CHUNK_Y) matmul with
 K=3 is systolic-latency bound — the MXU emits a 128x128 output tile per pass
-regardless of K, so the "free FLOPs" formulation actually ran ~3x slower than
-the VPU broadcast (v2 measured 10.9 ms/step at Tanks scale; v3 ~4 ms). The
-tile is shared by BOTH argmin directions, with validity baked into additive
-bias vectors (+BIG on invalid/padded entries):
+regardless of K, so the "free FLOPs" formulation ran slower than the VPU
+broadcast (and subtracting near-equal products also loses precision). The
+tile is shared by BOTH argmin directions.
 
-* row argmin of D + yy_bias (X→Y) carried through the fori_loop;
-* column argmin of D + xx_bias (Y→X) carried in (Dp,) VMEM scratch across
-  grid steps, flushed at i == ni-1.
+Validity and padding cost ZERO in-kernel work: invalid/padded X points are
+moved to the (+1e5,...) sentinel and Y points to (−1e5,...) on the host side,
+so any pairing that involves an invalid point has squared distance ≥ 1e10 —
+about 6 orders of magnitude beyond any real scene distance — and never wins
+an argmin against a valid pair. (v2 carried +BIG bias vectors instead, which
+cost two extra full (TILE_X, CHUNK_Y) VPU passes per tile.) Indices returned
+for *invalid* X rows / Y columns are arbitrary valid-region indices; callers
+mask them out of the loss, matching the reference's semantics where invalid
+points are dropped before the distance matrix (`model/losses.py:127-141`).
 
-Live VMEM: Yᵀ (0.4 MB) + distance/score slabs (~3 x 4 MB) + carries — under
-the ~16 MB/core scoped limit. HBM traffic collapses to the point clouds
+* row argmin of D (X→Y) carried through the fori_loop;
+* column argmin of D (Y→X) carried in (Dp,) VMEM scratch across grid steps,
+  flushed at i == ni-1.
+
+Live VMEM: Yᵀ (0.4 MB) + distance slab (4 MB) + carries — far under the
+~16 MB/core scoped limit. HBM traffic collapses to the point clouds
 themselves. Forward-only (argmin indices carry no gradient —
 `model/losses.py:137-141` semantics); the differentiable
 distance-to-gathered-point happens outside.
@@ -40,13 +49,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TILE_X = 1024    # X rows per grid step
-CHUNK_Y = 1024   # Y columns per inner-loop slice (4 MB f32 score slab)
-_BIG = 1e10
+CHUNK_Y = 1024   # Y columns per inner-loop slice (4 MB f32 distance slab)
+_BIG = 1e10      # any invalid pairing scores >= (sentinel distance)^2 = 1e10
+_SENTINEL = 1e5  # X moved to +S, Y to -S: valid<->invalid >= S^2, inv<->inv 4S^2
 
 
 def _make_kernel(nj):
-    def kernel(x_ref, yt_ref, xx_ref, yy_ref,
-               idx_x_ref, idx_y_ref, col_min, col_idx):
+    def kernel(x_ref, yt_ref, idx_x_ref, idx_y_ref, col_min, col_idx):
         i = pl.program_id(0)
         ni = pl.num_programs(0)
 
@@ -60,31 +69,25 @@ def _make_kernel(nj):
         x0 = x_ref[:, 0:1]
         x1 = x_ref[:, 1:2]
         x2 = x_ref[:, 2:3]
-        xxb = xx_ref[:, 0:1]   # (TILE_X, 1) +BIG on invalid X rows
 
         def body(j, carry):
             row_min, row_idx = carry
             sl = pl.dslice(j * CHUNK_Y, CHUNK_Y)
-            y0 = yt_ref[0:1, sl]
-            y1 = yt_ref[1:2, sl]
-            y2 = yt_ref[2:3, sl]
-            d0 = x0 - y0
-            d1 = x1 - y1
-            d2 = x2 - y2
+            d0 = x0 - yt_ref[0:1, sl]
+            d1 = x1 - yt_ref[1:2, sl]
+            d2 = x2 - yt_ref[2:3, sl]
             dist = d0 * d0 + d1 * d1 + d2 * d2   # (TILE_X, CHUNK_Y) on VPU
 
-            # --- direction X -> Y: row argmin of dist + yy_bias ------------
-            scores_x = dist + yy_ref[0:1, sl]
-            tmin = jnp.min(scores_x, axis=1)
-            targ = jnp.argmin(scores_x, axis=1).astype(jnp.int32) + j * CHUNK_Y
+            # --- direction X -> Y: row argmin ------------------------------
+            tmin = jnp.min(dist, axis=1)
+            targ = jnp.argmin(dist, axis=1).astype(jnp.int32) + j * CHUNK_Y
             better = tmin < row_min
             row_min = jnp.where(better, tmin, row_min)
             row_idx = jnp.where(better, targ, row_idx)
 
-            # --- direction Y -> X: column argmin of dist + xx_bias ---------
-            scores_y = dist + xxb
-            tmin_y = jnp.min(scores_y, axis=0)
-            targ_y = jnp.argmin(scores_y, axis=0).astype(jnp.int32) + i * TILE_X
+            # --- direction Y -> X: column argmin ---------------------------
+            tmin_y = jnp.min(dist, axis=0)
+            targ_y = jnp.argmin(dist, axis=0).astype(jnp.int32) + i * TILE_X
             cm = col_min[sl]
             ci = col_idx[sl]
             bet = tmin_y < cm
@@ -95,7 +98,7 @@ def _make_kernel(nj):
         row_min0 = jnp.full((TILE_X,), _BIG, jnp.float32)
         row_idx0 = jnp.zeros((TILE_X,), jnp.int32)
         # fori_loop (not unrolled): an unrolled sweep keeps several 4 MB
-        # score slabs live at once and blows the 16 MB scoped-VMEM limit
+        # distance slabs live at once and blows the 16 MB scoped-VMEM limit
         _, row_idx = lax.fori_loop(0, nj, body, (row_min0, row_idx0))
         idx_x_ref[i, :] = row_idx
 
@@ -106,31 +109,26 @@ def _make_kernel(nj):
     return kernel
 
 
-def _pad_pts(x, n):
-    pad = n - x.shape[0]
-    return jnp.pad(x, ((0, pad), (0, 0))) if pad else x
-
-
-def _pad_vec(x, n, fill=0.0):
-    pad = n - x.shape[0]
-    return jnp.pad(x, (0, pad), constant_values=fill) if pad else x
+def _prep(pts, valid, n, sentinel):
+    """Move invalid points to the sentinel and pad to n rows with it."""
+    if valid is not None:
+        pts = jnp.where(valid[:, None] > 0.0, pts, sentinel)
+    pad = n - pts.shape[0]
+    if pad:
+        pts = jnp.pad(pts, ((0, pad), (0, 0)), constant_values=sentinel)
+    return pts
 
 
 def nearest_idx_pallas(X, Y, x_valid=None, y_valid=None, interpret=False):
-    """Pallas drop-in for ops.chamfer.nearest_idx (same contract)."""
+    """Pallas drop-in for ops.chamfer.nearest_idx (same contract; indices at
+    invalid rows/columns are arbitrary — callers mask them)."""
     X = lax.stop_gradient(X)
     Y = lax.stop_gradient(Y)
     S, D = X.shape[0], Y.shape[0]
     Sp = -(-S // TILE_X) * TILE_X
     Dp = -(-D // CHUNK_Y) * CHUNK_Y
-    Xp = _pad_pts(X, Sp)
-    Yp = _pad_pts(Y, Dp)
-    xv = _pad_vec(jnp.ones(S) if x_valid is None else x_valid, Sp)
-    yv = _pad_vec(jnp.ones(D) if y_valid is None else y_valid, Dp)
-    # validity as additive biases: invalid/padded entries never win an argmin
-    # (their score is ~_BIG; any real squared distance is << _BIG)
-    xx = jnp.where(xv > 0.0, 0.0, _BIG)[:, None]    # (Sp, 1)
-    yy = jnp.where(yv > 0.0, 0.0, _BIG)[None, :]    # (1, Dp)
+    Xp = _prep(X, x_valid, Sp, _SENTINEL)
+    Yp = _prep(Y, y_valid, Dp, -_SENTINEL)
 
     ni, nj = Sp // TILE_X, Dp // CHUNK_Y
     idx_x, idx_y = pl.pallas_call(
@@ -142,10 +140,6 @@ def nearest_idx_pallas(X, Y, x_valid=None, y_valid=None, interpret=False):
             # whole Y cloud resident in VMEM, transposed so coordinate rows
             # are lane-major (constant index -> one DMA)
             pl.BlockSpec((3, Dp), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_X, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Dp), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         # full-array output blocks (VMEM-resident for the whole kernel):
@@ -165,7 +159,7 @@ def nearest_idx_pallas(X, Y, x_valid=None, y_valid=None, interpret=False):
             pltpu.VMEM((Dp,), jnp.int32),
         ],
         interpret=interpret,
-    )(Xp, Yp.T, xx, yy)
+    )(Xp, Yp.T)
     return idx_x.reshape(-1)[:S], idx_y.reshape(-1)[:D]
 
 
