@@ -111,12 +111,19 @@ def main():
         )
     _ = float(aux["loss"])  # hard sync (relay block_until_ready under-waits)
     t0 = time.perf_counter()
+    prev_aux = None
     for i in range(MEASURE_DISPATCHES):
         state, aux, _ = epoch_fn(
             state, scene_arrays, idxs, refs, scalars,
             jax.random.fold_in(key, 100 + i), static,
         )
-        _ = float(aux["loss"])  # hard sync per dispatch, as the train loop does
+        # pipelined sync, exactly like the production loop
+        # (training/loop.py: metrics for epoch e are fetched while epoch
+        # e+1 runs on device) — the dispatch round-trip hides behind compute
+        if prev_aux is not None:
+            _ = float(prev_aux["loss"])
+        prev_aux = aux
+    _ = float(prev_aux["loss"])
     dt = time.perf_counter() - t0
     steps = MEASURE_DISPATCHES * SCAN_STEPS
     rays_per_sec = steps * N_RAYS / dt

@@ -103,14 +103,17 @@ def main(cfg, eval_depth=False):
         )
     os.makedirs(render_dir, exist_ok=True)
 
-    # optional LPIPS (JAX VGG port; needs converted weights on disk)
+    # optional LPIPS (JAX VGG port; needs converted weights on disk).
+    # Only a MISSING weights file is tolerated — a real bug in the LPIPS
+    # stack must surface, not be reported as "unavailable".
     lpips_fn = None
     try:
         from nope_nerf_tpu.models.lpips import load_lpips
 
         lpips_fn = load_lpips()
-    except Exception as e:
-        print(f"LPIPS unavailable ({e}); reporting nan")
+    except FileNotFoundError as e:
+        print(f"LPIPS weights not found ({e}); reporting nan — convert them "
+              "once with tools/convert_lpips.py")
 
     resolution = cfg["extract_images"]["resolution"] or (scene.H, scene.W)
     results = []

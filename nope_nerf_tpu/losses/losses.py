@@ -151,6 +151,7 @@ def total_loss(
     depth_loss_type="l1",
     chamfer_block=2048,
     use_pallas_chamfer=False,
+    mesh=None,
 ):
     """Weighted sum of all terms (`model/losses.py:158-218`).
 
@@ -181,7 +182,15 @@ def total_loss(
     else:
         loss_dist_1st = loss_dist_2nd = zero
     if X is not None:
-        if use_pallas_chamfer:
+        if use_pallas_chamfer and mesh is not None:
+            # per-shard kernel under shard_map (GSPMD can't split the
+            # custom call) — see chamfer_kernel.chamfer_loss_pallas_sharded
+            from ..ops.pallas.chamfer_kernel import (
+                chamfer_loss_pallas_sharded,
+            )
+
+            pc = chamfer_loss_pallas_sharded(X, Y, mesh)
+        elif use_pallas_chamfer:
             from ..ops.pallas.chamfer_kernel import chamfer_loss_pallas
 
             pc = chamfer_loss_pallas(X, Y)

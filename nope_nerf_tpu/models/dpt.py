@@ -58,6 +58,7 @@ def _conv(x, w, b=None, stride=1, padding="SAME", std=False):
 def _group_norm(x, scale, bias, groups=32, eps=1e-5):
     """GroupNorm over the channel axis of (..., H, W, C)."""
     C = x.shape[-1]
+    groups = min(groups, C)  # every production DPT norm has C >= 32
     orig = x.shape
     x = x.reshape(orig[:-1] + (groups, C // groups))
     mean = jnp.mean(x, axis=(-4, -3, -1), keepdims=True)

@@ -172,6 +172,8 @@ def apply_nerf(params, pts, dirs, cfg_model, *, only_occupancy=False,
     """
     L_pos = cfg_model["pos_enc_levels"]
     L_dir = cfg_model["dir_enc_levels"]
+    if cfg_model.get("use_pallas_mlp", False) and not only_occupancy:
+        return _apply_nerf_fused(params, pts, dirs, cfg_model, L_pos, L_dir)
     # bf16 matmul inputs / f32 accumulation when the config asks for it
     # (tpu.mlp_bf16, default on for TPU backends — see make_render_cfg)
     dtype = jnp.bfloat16 if cfg_model.get("mlp_bf16", False) else None
@@ -193,6 +195,35 @@ def apply_nerf(params, pts, dirs, cfg_model, *, only_occupancy=False,
     rgb = jax.nn.sigmoid(
         _dense(params["fc_rgb"], h, precision, dtype).astype(jnp.float32)
     )
+    return rgb, density
+
+
+def _apply_nerf_fused(params, pts, dirs, cfg_model, L_pos, L_dir):
+    """Fused Pallas MLP path (ops/pallas/mlp_kernel.py): the whole chain —
+    positional encoding, trunk, skip concat, heads — runs in one kernel per
+    direction (fwd / bwd) with activations VMEM-resident; only the
+    pre-scaled (M, 63)/(M, 27) inputs and the raw (M, 4) head outputs touch
+    HBM. Numerics match the ``mlp_bf16`` XLA path (bf16 operands, f32
+    accumulation, f32 sin/cos arguments)."""
+    from ..ops.pallas.mlp_kernel import BM, collect_weights, fused_mlp
+
+    M = pts.shape[0]
+    pad = (-M) % BM
+    if pad:
+        pts = jnp.pad(pts, ((0, pad), (0, 0)))
+        dirs = jnp.pad(dirs, ((0, pad), (0, 0)))
+    raw_rgb, raw_sigma = fused_mlp(collect_weights(params), pts, dirs,
+                                   L_pos, L_dir)
+    if pad:
+        raw_rgb = raw_rgb[:M]
+        raw_sigma = raw_sigma[:M]
+    if cfg_model["occ_activation"] == "softplus":
+        density = jax.nn.softplus(raw_sigma)
+    else:
+        density = jax.nn.relu(raw_sigma)
+    if not cfg_model["dist_alpha"]:
+        density = 1.0 - jnp.exp(-density)
+    rgb = jax.nn.sigmoid(raw_rgb)
     return rgb, density
 
 

@@ -109,6 +109,12 @@ def _make_kernel(nj):
     return kernel
 
 
+def _pad_vec(v, n):
+    """Pad a 1-D validity vector to n entries with zeros (invalid)."""
+    pad = n - v.shape[0]
+    return jnp.pad(v, (0, pad)) if pad else v
+
+
 def _prep(pts, valid, n, sentinel):
     """Move invalid points to the sentinel and pad to n rows with it."""
     if valid is not None:
@@ -180,3 +186,62 @@ def chamfer_loss_pallas(X, Y, x_valid=None, y_valid=None, interpret=False):
     else:
         loss_y = jnp.sum(dy * y_valid) / jnp.maximum(jnp.sum(y_valid), 1.0)
     return loss_x + loss_y
+
+
+def chamfer_loss_pallas_sharded(X, Y, mesh, interpret=False):
+    """Symmetric Chamfer with the Pallas argmin under a ray mesh.
+
+    The GSPMD partitioner cannot split a custom call, so the kernel runs
+    per-shard under ``shard_map``: each device owns a slice of X (and of Y)
+    and sweeps it against the **all-gathered** other cloud — Y is ~0.4 MB at
+    Tanks scale, so the gather is noise on ICI while the O(S·D) distance
+    work divides by the mesh size. Each direction is one kernel call on its
+    owner's rows (the combined two-direction kernel would need a
+    cross-device argmin merge; two calls keep the reduction local and still
+    cut per-device work by n_dev/2). Differentiable exactly like
+    :func:`chamfer_loss_pallas` — argmin is gradient-free, the
+    distance-to-gathered-point is autodiffed, and ``all_gather``'s
+    transpose (reduce-scatter) routes the Y-side gradients home.
+
+    Pads both clouds to the mesh size with sentinel coordinates (masked out
+    of the means). Replaces VERDICT r1 item 8's ``mesh is None`` fallback.
+    """
+    from functools import partial
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    S, D = X.shape[0], Y.shape[0]
+    Sp = -(-S // n_dev) * n_dev
+    Dp = -(-D // n_dev) * n_dev
+    xv = _pad_vec(jnp.ones(S), Sp)
+    yv = _pad_vec(jnp.ones(D), Dp)
+    Xp = _prep(X, None, Sp, _SENTINEL)
+    Yp = _prep(Y, None, Dp, -_SENTINEL)
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis)),
+        out_specs=P(),
+        # pallas_call's out_shape carries no varying-mesh-axes info, which
+        # trips jax>=0.8's vma checker; the collectives here are explicit
+        check_vma=False,
+    )
+    def f(xs, xvs, ys, yvs):
+        Yf = jax.lax.all_gather(ys, axis, tiled=True)
+        Xf = jax.lax.all_gather(xs, axis, tiled=True)
+        idx_x, _ = nearest_idx_pallas(xs, Yf, interpret=interpret)
+        idx_y, _ = nearest_idx_pallas(ys, Xf, interpret=interpret)
+        dxv = xs - Yf[idx_x]
+        dyv = ys - Xf[idx_y]
+        dx = jnp.sqrt(jnp.maximum(jnp.sum(dxv * dxv, axis=-1), 1e-24))
+        dy = jnp.sqrt(jnp.maximum(jnp.sum(dyv * dyv, axis=-1), 1e-24))
+        sx = jax.lax.psum(jnp.sum(dx * xvs), axis)
+        sy = jax.lax.psum(jnp.sum(dy * yvs), axis)
+        nx = jax.lax.psum(jnp.sum(xvs), axis)
+        ny = jax.lax.psum(jnp.sum(yvs), axis)
+        return sx / jnp.maximum(nx, 1.0) + sy / jnp.maximum(ny, 1.0)
+
+    return f(Xp, xv, Yp, yv)

@@ -314,6 +314,9 @@ def render_image(nerf_params, resolution, camera_mat, world_mat, scale_mat,
         _MESH_REGISTRY[mesh_key] = mesh
         if chunk % len(mesh.devices.ravel()) != 0:
             raise ValueError("chunk must divide evenly over mesh devices")
+        if cfg.get("use_pallas_mlp", False):
+            # GSPMD cannot partition the fused-MLP custom call
+            cfg = dict(cfg, use_pallas_mlp=False)
     fn = _render_image_jit(tuple(resolution), chunk, _freeze(cfg), precision,
                            mesh_key)
     return fn(nerf_params, jnp.asarray(camera_mat), jnp.asarray(world_mat),

@@ -275,6 +275,79 @@ def train(cfg, max_epochs=None, scene=None):
 
     epoch_budget = max_epochs
     t0b = time.time()
+    pending_prev = None
+
+    def _pose_metrics(it):
+        """Per-epoch pose accuracy (`train.py:277-290`)."""
+        learned = np.asarray(
+            all_poses(
+                state.params["pose"], init_c2w,
+                cfg["pose"]["learn_R"], cfg["pose"]["learn_t"],
+            )
+        )
+        aligned = align_ate_c2b_use_a2b(learned, gt_poses)
+        ate = compute_ate(gt_poses, aligned)
+        rpe_t, rpe_r = compute_rpe(gt_poses, aligned)
+        logger.add_scalar("eval/ate_trans", ate, it)
+        logger.add_scalar("eval/rpe_trans", rpe_t * 100, it)
+        logger.add_scalar("eval/rpe_rot", np.rad2deg(rpe_r), it)
+
+    def _process_epoch_metrics(pending):
+        """Host-side consumption of one finished epoch's metrics: logging,
+        PSNR, pose eval, plateau/scheduler update (and the 'reset'-mode field
+        re-init). In pipelined mode this runs one epoch behind the device."""
+        nonlocal state, key, t0b
+        p_epoch, p_it, aux_mean, aux_last, p_order = pending
+        aux_host = jax.device_get(aux_mean)
+        logger.add_scalar("train/loss_pc_epoch",
+                          float(aux_host["loss_pc"]), p_it)
+        logger.add_scalar("train/loss_rgbs_epoch",
+                          float(aux_host["loss_rgb_s"]), p_it)
+        if log_ss_per_view:
+            ss = jax.device_get(
+                (aux_last["scale_steps"], aux_last["shift_steps"])
+            )
+            for v_idx, sc, sh in zip(p_order, ss[0], ss[1]):
+                scale_dict["view %02d" % v_idx] = float(sc)
+                shift_dict["view %02d" % v_idx] = float(sh)
+        if print_every > 0 and (p_it // n_views) % max(
+            print_every // max(n_views, 1), 1
+        ) == 0:
+            rate = throughput.rate()
+            print(
+                f"[Epoch {p_epoch:02d}] it={p_it:03d}, "
+                f"loss={float(aux_host['loss']):.8f}, "
+                f"time={time.time() - t0b:.4f}, rays/s={rate:.0f}"
+            )
+            t0b = time.time()
+            throughput.reset()
+            for tag, v in aux_host.items():
+                logger.add_scalar(f"train/{tag}", float(np.asarray(v)), p_it)
+            logger.add_scalar("perf/rays_per_sec", rate, p_it)
+            for vname, v in scale_dict.items():
+                logger.add_scalar(f"train/scale{vname}", v, p_it)
+            for vname, v in shift_dict.items():
+                logger.add_scalar(f"train/shift{vname}", v, p_it)
+        if (
+            eval_pose_every > 0
+            and (p_epoch % eval_pose_every) == 0
+            and gt_poses is not None
+            and cfg["pose"]["learn_pose"]
+        ):
+            _pose_metrics(p_it)
+        psnr = float(mse2psnr(float(aux_host["l2_mean"])))
+        if eval_img_every > 0 and (p_epoch % eval_img_every) == 0:
+            logger.add_scalar("train/psnr", psnr, p_it)
+        switched = sched.update_plateau(p_epoch, psnr)
+        if switched and cfg["training"]["scheduling_mode"] == "reset":
+            key, reinit_key = jax.random.split(key)
+            new_nerf = init_nerf_params(reinit_key, cfg)
+            params2 = dict(state.params)
+            params2["nerf"] = new_nerf
+            state = TrainState(params=params2, opt_state=state.opt_state)
+        for g, v in sched.lrs(p_epoch).items():
+            logger.add_scalar(f"train/lr_{g}", v, p_it)
+
     while sched_state.epoch_it < sched.total_epochs:
         sched_state.epoch_it += 1
         epoch = sched_state.epoch_it
@@ -296,10 +369,27 @@ def train(cfg, max_epochs=None, scene=None):
         ref_order = np.array(
             [scene.sample_ref_idx(int(i), pyrng) for i in order], np.int32
         )
+        rays_mult = int(cfg.get("tpu", {}).get("rays_per_step_multiplier", 1))
+        if rays_mult > 1:
+            # k frames' ray batches per step (VERDICT r1 item 10 /
+            # SURVEY §2.5): frame 0 keeps the epoch order (and owns the
+            # reference pair); the extra k-1 frames are drawn uniformly
+            extra = np.random.randint(
+                0, n_views, size=(n_views, rays_mult - 1)
+            )
+            order = np.concatenate([order[:, None], extra], axis=1).astype(
+                np.int32
+            )
+        order0 = order if order.ndim == 1 else order[:, 0]
 
         if epoch_scan:
             # whole epoch in ONE device dispatch (lax.scan over steps):
-            # amortises the ~100 ms tunnel dispatch and syncs once per epoch
+            # amortises the ~100 ms tunnel dispatch. PIPELINED: the metrics
+            # sync for epoch e happens while epoch e+1 already runs on
+            # device, so the dispatch round-trip vanishes from steady state.
+            # The plateau detector therefore sees each epoch's PSNR one
+            # epoch late — immaterial against patient=30 (`train.py:309-319`)
+            # and documented here.
             it0 = sched_state.it + 1
             epoch_key = jax.random.fold_in(key, epoch)
             state, aux_mean, aux_last = epoch_fn(
@@ -309,39 +399,18 @@ def train(cfg, max_epochs=None, scene=None):
             sched_state.it += n_views
             it = sched_state.it
             throughput.tick(n_views)
-            aux_host = jax.device_get(aux_mean)
-            l2_epoch = [float(aux_host["l2_mean"])]
-            pc_epoch = [float(aux_host["loss_pc"])]
-            rgb_s_epoch = [float(aux_host["loss_rgb_s"])]
-            if log_ss_per_view:
-                ss = jax.device_get(
-                    (aux_last["scale_steps"], aux_last["shift_steps"])
-                )
-                for v_idx, sc, sh in zip(order, ss[0], ss[1]):
-                    scale_dict["view %02d" % v_idx] = float(sc)
-                    shift_dict["view %02d" % v_idx] = float(sh)
-            if print_every > 0 and (it // n_views) % max(print_every // max(n_views, 1), 1) == 0:
-                rate = throughput.rate()
-                print(
-                    f"[Epoch {epoch:02d}] it={it:03d}, "
-                    f"loss={float(aux_host['loss']):.8f}, "
-                    f"time={time.time() - t0b:.4f}, rays/s={rate:.0f}"
-                )
-                t0b = time.time()
-                throughput.reset()
-                for tag, v in aux_host.items():
-                    logger.add_scalar(f"train/{tag}", float(np.asarray(v)), it)
-                logger.add_scalar("perf/rays_per_sec", rate, it)
-                for vname, v in scale_dict.items():
-                    logger.add_scalar(f"train/scale{vname}", v, it)
-                for vname, v in shift_dict.items():
-                    logger.add_scalar(f"train/shift{vname}", v, it)
+            pending = (epoch, it, aux_mean, aux_last, order0)
+            # sync + process the PREVIOUS epoch's metrics (device keeps
+            # running the epoch just dispatched above)
+            if pending_prev is not None:
+                _process_epoch_metrics(pending_prev)
+            pending_prev = pending
             if (
                 vis_reproj_every > 0
                 and static.get("use_rgb_s")
                 and ((it0 - 1) // vis_reproj_every) != (it // vis_reproj_every)
             ):
-                dump_pair_images(state, int(order[-1]), int(ref_order[-1]),
+                dump_pair_images(state, int(order0[-1]), int(ref_order[-1]),
                                  scalars, it)
             if checkpoint_every > 0 and ((it0 - 1) // checkpoint_every) != (it // checkpoint_every):
                 save_all(checkpoint_io, state, sched_state, cfg)
@@ -355,6 +424,7 @@ def train(cfg, max_epochs=None, scene=None):
                     cfg["training"]["vis_resolution"], it,
                     os.path.join(render_path, "%04d_vis" % it),
                 )
+            continue
         else:
             l2_epoch = []
             pc_epoch = []
@@ -363,8 +433,9 @@ def train(cfg, max_epochs=None, scene=None):
                 sched_state.it += 1
                 it = sched_state.it
                 batch = dict(scene_arrs)
-                batch["idx"] = jnp.int32(idx)
+                batch["idx"] = jnp.asarray(idx, jnp.int32)
                 batch["ref_idx"] = jnp.int32(ref_idx)
+                idx = int(np.ravel(idx)[0])  # frame 0 for host-side logging
                 step_key = jax.random.fold_in(key, it)
                 state, aux = step_fn(state, batch, scalars, step_key, static)
                 throughput.tick()
@@ -417,6 +488,8 @@ def train(cfg, max_epochs=None, scene=None):
                         os.path.join(render_path, "%04d_vis" % it),
                     )
 
+        # (non-scan path only — the scan path defers this to
+        # _process_epoch_metrics with a one-epoch pipeline lag)
         logger.add_scalar("train/loss_pc_epoch", float(np.mean(pc_epoch)), sched_state.it)
         logger.add_scalar("train/loss_rgbs_epoch", float(np.mean(rgb_s_epoch)), sched_state.it)
 
@@ -427,18 +500,7 @@ def train(cfg, max_epochs=None, scene=None):
             and gt_poses is not None
             and cfg["pose"]["learn_pose"]
         ):
-            learned = np.asarray(
-                all_poses(
-                    state.params["pose"], init_c2w,
-                    cfg["pose"]["learn_R"], cfg["pose"]["learn_t"],
-                )
-            )
-            aligned = align_ate_c2b_use_a2b(learned, gt_poses)
-            ate = compute_ate(gt_poses, aligned)
-            rpe_t, rpe_r = compute_rpe(gt_poses, aligned)
-            logger.add_scalar("eval/ate_trans", ate, sched_state.it)
-            logger.add_scalar("eval/rpe_trans", rpe_t * 100, sched_state.it)
-            logger.add_scalar("eval/rpe_rot", np.rad2deg(rpe_r), sched_state.it)
+            _pose_metrics(sched_state.it)
 
         psnr = float(mse2psnr(np.mean(l2_epoch)))
         if eval_img_every > 0 and (epoch % eval_img_every) == 0:
@@ -455,6 +517,9 @@ def train(cfg, max_epochs=None, scene=None):
         for g, v in sched.lrs(epoch).items():
             logger.add_scalar(f"train/lr_{g}", v, sched_state.it)
 
+    if pending_prev is not None:
+        # drain the pipeline: the last epoch's metrics are still pending
+        _process_epoch_metrics(pending_prev)
     save_all(checkpoint_io, state, sched_state, cfg)
     if profile_dir:
         jax.profiler.stop_trace()

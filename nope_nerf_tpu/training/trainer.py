@@ -104,7 +104,14 @@ def compute_loss(
     Returns:
         (loss, aux dict)
     """
-    idx = batch["idx"]
+    # ``idx`` is a scalar frame index, or a (k,) vector when
+    # tpu.rays_per_step_multiplier > 1: the step then renders k frames'
+    # ray batches (vmapped over frames — SURVEY.md §2.5's honest
+    # "scale rays beyond single-GPU" axis), while the reference-pair
+    # branch runs on the first frame exactly as at k = 1.
+    idx_all = batch["idx"]
+    multi = jnp.ndim(idx_all) > 0
+    idx = idx_all[0] if multi else idx_all
     ref_idx = batch["ref_idx"]
     img = batch["imgs"][idx]
     depth_raw = batch["dpts"][idx]  # undistorted prior depth (hd, wd)
@@ -154,32 +161,36 @@ def compute_loss(
     else:
         camera_mat = camera_mat_gt
 
-    # ---- ray sampling ---------------------------------------------------
+    # ---- ray sampling + render (per frame) ------------------------------
     key_rays, key_noise = jax.random.split(rng)
-    if cfg.get("tpu", {}).get("fast_ray_sampling", True):
-        # with-replacement sampling: E[collisions] = n²/2HW ≈ 1 per step at
-        # paper scale — statistically immaterial, and it avoids the 518k-key
-        # sort a without-replacement permutation costs on TPU (~10 ms/step).
-        ray_idx = jax.random.randint(key_rays, (n_points,), 0, H * W)
-    else:
-        # exact reference semantics: randperm[:n] (`model/training.py:257`)
-        ray_idx = jax.random.choice(key_rays, H * W, shape=(n_points,),
-                                    replace=False)
-    if mesh is not None:
-        from ..parallel.mesh import shard_rays
+    fast_sampling = cfg.get("tpu", {}).get("fast_ray_sampling", True)
 
-        ray_idx = shard_rays(ray_idx, mesh)
-    rgb_gt = img.reshape(-1, 3)[ray_idx]
-    # scaled pixel coords straight from the flat indices (O(n_rays); building
-    # the full (H*W, 2) grid per step like arange_pixels costs ~2 ms)
-    ray_rows = ray_idx // W
-    ray_cols = ray_idx % W
-    px = 2.0 * ray_cols.astype(jnp.float32) / (W - 1) - 1.0
-    py = 2.0 * ray_rows.astype(jnp.float32) / (H - 1) - 1.0
-    p = jnp.stack([px, py], axis=-1)
+    def _sample_and_render(f_idx, key_r, key_n):
+        img_f = batch["imgs"][f_idx]
+        depth_f = batch["dpts"][f_idx]
+        if fast_sampling:
+            # with-replacement sampling: E[collisions] = n²/2HW ≈ 1 per step
+            # at paper scale — statistically immaterial, and it avoids the
+            # 518k-key sort a without-replacement permutation costs on TPU
+            # (~10 ms/step).
+            r_idx = jax.random.randint(key_r, (n_points,), 0, H * W)
+        else:
+            # exact reference semantics: randperm[:n] (`model/training.py:257`)
+            r_idx = jax.random.choice(key_r, H * W, shape=(n_points,),
+                                      replace=False)
+        if mesh is not None:
+            from ..parallel.mesh import shard_rays
 
-    out = {}
-    if static["render_model"]:
+            r_idx = shard_rays(r_idx, mesh)
+        rgb_gt_f = img_f.reshape(-1, 3)[r_idx]
+        # scaled pixel coords straight from the flat indices (O(n_rays);
+        # building the full (H*W, 2) grid per step like arange_pixels costs
+        # ~2 ms)
+        rr = r_idx // W
+        rc = r_idx % W
+        px = 2.0 * rc.astype(jnp.float32) / (W - 1) - 1.0
+        py = 2.0 * rr.astype(jnp.float32) / (H - 1) - 1.0
+        p = jnp.stack([px, py], axis=-1)
         # prior depth at the sampled rays (`model/network.py:22-25`): the
         # reference nearest-resizes the depth map to (H, W) then gathers;
         # gather ∘ resize_nearest == gather at floor-mapped indices, and the
@@ -187,18 +198,49 @@ def compute_loss(
         # sampled depths are ever distorted (the old path materialised a
         # full-res distorted + resized map every step).
         if (hd, wd) == (H, W):
-            didx = ray_idx
+            didx = r_idx
         else:
-            didx = (ray_rows * hd) // H * wd + (ray_cols * wd) // W
-        d_rays = depth_raw.reshape(-1)[didx]
-        if learn_dist:
-            d_rays = _apply_distortion(
-                d_rays, scale_input, shift_input, tcfg["shift_first"]
+            didx = (rr * hd) // H * wd + (rc * wd) // W
+        d_rays = depth_f.reshape(-1)[didx]
+        if pcfg["learn_pose"]:
+            world_f = rigid_inv(
+                pose_c2w(params["pose"], f_idx, init_c2w,
+                         pcfg["learn_R"], pcfg["learn_t"])
             )
-        out = render_rays(
-            params["nerf"], p, d_rays, camera_mat, world_mat, scale_mat,
-            render_cfg, rng=key_noise, add_noise=True, eval_mode=False,
+        else:
+            world_f = jnp.eye(4)
+        if learn_dist:
+            sc_f, sh_f = distortion_scale_shift(
+                params["distortion"], f_idx, num_cams,
+                cfg["distortion"]["fix_scaleN"],
+                cfg["distortion"]["learn_scale"],
+                cfg["distortion"]["learn_shift"],
+            )
+            d_rays = _apply_distortion(d_rays, sc_f, sh_f,
+                                       tcfg["shift_first"])
+        out_f = render_rays(
+            params["nerf"], p, d_rays, camera_mat, world_f, scale_mat,
+            render_cfg, rng=key_n, add_noise=True, eval_mode=False,
         )
+        return rgb_gt_f, out_f
+
+    out = {}
+    rgb_gt = None
+    if static["render_model"]:
+        if multi:
+            # k frames' ray batches per step, vmapped; per-ray loss terms
+            # flatten to (k*n,) — mean-per-ray reductions are unchanged
+            k = idx_all.shape[0]
+            keys_r = jax.random.split(key_rays, k)
+            keys_n = jax.random.split(key_noise, k)
+            rgb_gt, out = jax.vmap(_sample_and_render)(idx_all, keys_r,
+                                                       keys_n)
+            rgb_gt = rgb_gt.reshape(-1, 3)
+            out = jax.tree.map(
+                lambda v: v.reshape((-1,) + v.shape[2:]), out
+            )
+        else:
+            rgb_gt, out = _sample_and_render(idx, key_rays, key_noise)
 
     # ---- reference-image branch (`model/training.py:280-366`) ----------
     loss_kwargs = {}
@@ -332,9 +374,9 @@ def compute_loss(
         chamfer_block=cfg.get("tpu", {}).get("chamfer_block", 2048),
         use_pallas_chamfer=(
             cfg.get("tpu", {}).get("use_pallas", True)
-            and mesh is None  # GSPMD path keeps the XLA impl
-            and jax.default_backend() == "tpu"
+            and _compute_platform(mesh) == "tpu"
         ),
+        mesh=mesh,
         with_auto_mask=tcfg.get("with_auto_mask", False),
         **loss_kwargs,
     )
@@ -367,6 +409,7 @@ def make_train_step(cfg, render_cfg, init_c2w=None, mesh=None):
     With ``mesh``, per-ray/per-point tensors are sharded over the mesh's ray
     axis and XLA inserts the gradient all-reduce (see parallel/mesh.py).
     """
+    render_cfg = _mesh_safe_render_cfg(render_cfg, mesh)
     tcfg = cfg["training"]
     wd = tcfg.get("weight_decay", 0.0) or 0.0
 
@@ -419,6 +462,7 @@ def make_epoch_step(cfg, render_cfg, init_c2w=None, mesh=None):
       -> (state, aux_means) where idxs/ref_idxs are (N,) int32 arrays (the
       shuffled frame order + sampled reference frames for this epoch).
     """
+    render_cfg = _mesh_safe_render_cfg(render_cfg, mesh)
     tcfg = cfg["training"]
     wd = tcfg.get("weight_decay", 0.0) or 0.0
 
@@ -505,6 +549,31 @@ def make_render_cfg(cfg):
             "mlp_bf16": tpu_cfg.get(
                 "mlp_bf16", jax.default_backend() == "tpu"
             ),
+            # fully-fused Pallas MLP (fwd+bwd kernels, activations never
+            # leave VMEM). Same bf16/f32-accum numerics as mlp_bf16.
+            # Disabled under a mesh (GSPMD cannot partition the custom call
+            # — see make_train_step/make_epoch_step).
+            "use_pallas_mlp": tpu_cfg.get(
+                "use_pallas_mlp", jax.default_backend() == "tpu"
+            ),
         }
     )
+    return rc
+
+
+def _compute_platform(mesh):
+    """Platform the step's arrays actually live on: the mesh's devices when
+    sharded, else the default backend. jax.default_backend() alone is wrong
+    under a CPU mesh started from a TPU-default session (the driver's
+    multichip dryrun) — Pallas kernels would be selected for CPU devices."""
+    if mesh is not None:
+        return mesh.devices.ravel()[0].platform
+    return jax.default_backend()
+
+
+def _mesh_safe_render_cfg(render_cfg, mesh):
+    if mesh is None:
+        return render_cfg
+    rc = dict(render_cfg)
+    rc["use_pallas_mlp"] = False
     return rc

@@ -28,6 +28,12 @@ if "host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The axon sitecustomize imports jax._src at interpreter start (before this
+# conftest runs), so jax's config has already captured JAX_PLATFORMS=axon
+# from the session env — the os.environ write above is too late for it.
+# Update the live config value directly.
+jax.config.update("jax_platforms", "cpu")
+
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -49,3 +49,100 @@ class TestLPIPS:
         d_diff = float(lpips_distance(params, a, b))
         assert d_same < 1e-8
         assert d_diff > 0 and np.isfinite(d_diff)
+
+
+class TestFusedMLP:
+    """Interpret-mode parity of the fused Pallas MLP (ops/pallas/mlp_kernel)
+    against the XLA field — forward and full gradients."""
+
+    def _setup(self, rng, M=2048):
+        from nope_nerf_tpu.models.nerf import init_nerf_params
+
+        cfg = {
+            "model": {"hidden_dim": 256, "pos_enc_levels": 10,
+                      "dir_enc_levels": 4, "occ_activation": "softplus"},
+            "rendering": {"white_background": False},
+        }
+        params = init_nerf_params(jax.random.PRNGKey(3), cfg)
+        pts = jnp.asarray(rng.normal(size=(M, 3)), jnp.float32)
+        d = rng.normal(size=(M, 3))
+        dirs = jnp.asarray(d / np.linalg.norm(d, axis=1, keepdims=True),
+                           jnp.float32)
+        cfg_model = {
+            "occ_activation": "softplus", "pos_enc_levels": 10,
+            "dir_enc_levels": 4, "dist_alpha": False,
+        }
+        return params, pts, dirs, cfg_model
+
+    def test_forward_matches_xla(self, rng):
+        import nope_nerf_tpu.ops.pallas.mlp_kernel as mk
+        from nope_nerf_tpu.models.nerf import apply_nerf
+
+        params, pts, dirs, cfg_model = self._setup(rng)
+        rgb_ref, den_ref = apply_nerf(params, pts, dirs, cfg_model)
+        mk.INTERPRET = True
+        try:
+            rgb, den = apply_nerf(params, pts, dirs,
+                                  dict(cfg_model, use_pallas_mlp=True))
+        finally:
+            mk.INTERPRET = False
+        # bf16 operands: rgb is post-sigmoid (well-conditioned), density
+        # post-softplus
+        np.testing.assert_allclose(rgb, rgb_ref, atol=0.03)
+        np.testing.assert_allclose(den, den_ref, rtol=0.08, atol=0.03)
+
+    def test_grads_match_xla(self, rng):
+        import nope_nerf_tpu.ops.pallas.mlp_kernel as mk
+        from nope_nerf_tpu.models.nerf import apply_nerf
+
+        params, pts, dirs, cfg_model = self._setup(rng, M=1024)
+
+        def loss(p, pts_, dirs_, mode):
+            cm = dict(cfg_model)
+            if mode == "fused":
+                cm["use_pallas_mlp"] = True
+            elif mode == "bf16":
+                cm["mlp_bf16"] = True
+            rgb, den = apply_nerf(p, pts_, dirs_, cm)
+            return jnp.mean(rgb**2) + jnp.mean(den * jnp.cos(den))
+
+        # apples-to-apples reference is XLA's OWN bf16 path: both it and the
+        # kernel deviate ~7% relL2 from f32 on input grads (inherent bf16
+        # round-off through 10 chained matmuls x 2^9 encoding frequencies),
+        # but agree with each other to <1% — asserting against f32 would
+        # only measure bf16, not the kernel.
+        g_ref = jax.grad(loss, argnums=(0, 1, 2))(params, pts, dirs, "bf16")
+        mk.INTERPRET = True
+        try:
+            g_fused = jax.grad(loss, argnums=(0, 1, 2))(params, pts, dirs,
+                                                        "fused")
+        finally:
+            mk.INTERPRET = False
+
+        def check(a, b, nm, rel_l2=0.02):
+            a, b = np.asarray(a), np.asarray(b)
+            assert a.dtype == np.float32, nm
+            err = np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-12)
+            assert err < rel_l2, f"{nm}: relL2={err:.4f}"
+
+        for name in g_ref[0]:
+            for k in ("w", "b"):
+                check(g_fused[0][name][k], g_ref[0][name][k], f"{name}/{k}")
+        check(g_fused[1], g_ref[1], "pts")
+        check(g_fused[2], g_ref[2], "dirs")
+
+    def test_padding(self, rng):
+        """Non-multiple-of-BM batches are padded and sliced correctly."""
+        import nope_nerf_tpu.ops.pallas.mlp_kernel as mk
+        from nope_nerf_tpu.models.nerf import apply_nerf
+
+        params, pts, dirs, cfg_model = self._setup(rng, M=1500)
+        rgb_ref, den_ref = apply_nerf(params, pts, dirs, cfg_model)
+        mk.INTERPRET = True
+        try:
+            rgb, den = apply_nerf(params, pts, dirs,
+                                  dict(cfg_model, use_pallas_mlp=True))
+        finally:
+            mk.INTERPRET = False
+        assert rgb.shape == (1500, 3) and den.shape == (1500, 1)
+        np.testing.assert_allclose(rgb, rgb_ref, atol=0.03)

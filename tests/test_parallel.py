@@ -149,3 +149,44 @@ class TestShardedEval:
         )(params, imgs)
         assert out.shape == (8, 32, 32)
         assert np.isfinite(np.asarray(out)).all()
+
+
+class TestShardedChamfer:
+    def test_sharded_pallas_matches_xla(self):
+        """chamfer_loss_pallas_sharded (shard_map, interpret kernels) ==
+        single-device XLA chamfer on the 8-dev CPU mesh, with cloud sizes
+        NOT divisible by the mesh (pad path) — VERDICT r1 item 8."""
+        from nope_nerf_tpu.ops.chamfer import chamfer_loss
+        from nope_nerf_tpu.ops.pallas.chamfer_kernel import (
+            chamfer_loss_pallas_sharded,
+        )
+
+        rng = np.random.default_rng(3)
+        X = jnp.asarray(rng.normal(size=(403, 3)), jnp.float32)
+        Y = jnp.asarray(rng.normal(size=(517, 3)), jnp.float32)
+        mesh = make_ray_mesh(8)
+        want = float(chamfer_loss(X, Y, block=256))
+        got = float(chamfer_loss_pallas_sharded(X, Y, mesh, interpret=True))
+        assert abs(got - want) < 1e-6
+
+    def test_sharded_pallas_grads_match(self):
+        """Gradients flow through the shard_map + all_gather transpose."""
+        from nope_nerf_tpu.ops.chamfer import chamfer_loss
+        from nope_nerf_tpu.ops.pallas.chamfer_kernel import (
+            chamfer_loss_pallas_sharded,
+        )
+
+        rng = np.random.default_rng(4)
+        X = jnp.asarray(rng.normal(size=(96, 3)), jnp.float32)
+        Y = jnp.asarray(rng.normal(size=(120, 3)), jnp.float32)
+        mesh = make_ray_mesh(8)
+        gx_ref, gy_ref = jax.grad(
+            lambda a, b: chamfer_loss(a, b, block=64), argnums=(0, 1)
+        )(X, Y)
+        gx, gy = jax.grad(
+            lambda a, b: chamfer_loss_pallas_sharded(a, b, mesh,
+                                                     interpret=True),
+            argnums=(0, 1),
+        )(X, Y)
+        np.testing.assert_allclose(gx, gx_ref, atol=1e-6)
+        np.testing.assert_allclose(gy, gy_ref, atol=1e-6)

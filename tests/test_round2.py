@@ -205,3 +205,63 @@ def test_matmul_bf16_custom_vjp_grads():
     for line in hlo.splitlines():
         if " dot(" in line and "bf16" not in line:
             raise AssertionError(f"f32 dot survived in backward: {line}")
+
+
+def test_rays_per_step_multiplier_convergence():
+    """tpu.rays_per_step_multiplier = 2: the step consumes two frames' ray
+    batches (VERDICT r1 item 10); training still converges and the loss
+    structure is unchanged."""
+    import jax
+    import jax.numpy as jnp
+
+    from nope_nerf_tpu.training.loop import build_params, scene_batch_arrays
+    from nope_nerf_tpu.training.trainer import (
+        init_train_state,
+        make_epoch_step,
+        make_render_cfg,
+    )
+    from nope_nerf_tpu.utils.synthetic import SyntheticScene, tiny_config
+
+    scene = SyntheticScene(n_frames=4, hw=(16, 20), num_points=16)
+    cfg = tiny_config(scene, "/tmp/mult_out", num_points=16,
+                      n_training_points=64)
+    cfg["_num_cams"] = scene.N_imgs
+    cfg.setdefault("tpu", {})["rays_per_step_multiplier"] = 2
+
+    params, init_c2w = build_params(cfg, scene, jax.random.PRNGKey(0))
+    state, _ = init_train_state(params)
+    batch = scene_batch_arrays(scene, cfg)
+    batch["camera_mat_gt"] = jnp.asarray(scene.K)
+    batch["scale_mat"] = jnp.asarray(scene.scale_mat)
+    scalars = {
+        "weights": {
+            "rgb_weight": np.float32(1.0),
+            "depth_weight": np.float32(0.04),
+            "pc_weight": np.float32(1.0),
+            "rgb_s_weight": np.float32(1.0),
+            "depth_consistency_weight": np.float32(0.0),
+            "weight_dist_1st_loss": np.float32(0.0),
+            "weight_dist_2nd_loss": np.float32(0.0),
+        },
+        "w_l1": np.float32(1.0),
+        "w_l2": np.float32(0.0),
+        "lrs": {g: np.float32(1e-3) for g in
+                ("nerf", "pose", "focal", "distortion")},
+    }
+    static = {"render_model": True, "use_ref": True, "use_rgb_s": True}
+    epoch_fn = make_epoch_step(cfg, make_render_cfg(cfg), init_c2w)
+    n = scene.N_imgs
+    # (steps, k=2) frame matrix per epoch
+    rng = np.random.default_rng(0)
+    losses = []
+    for e in range(14):
+        order = rng.permutation(n)
+        idxs = np.stack([order, rng.integers(0, n, size=n)], 1).astype(np.int32)
+        refs = ((order + 1) % n).astype(np.int32)
+        state, aux, _ = epoch_fn(
+            state, batch, jnp.asarray(idxs), jnp.asarray(refs), scalars,
+            jax.random.fold_in(jax.random.PRNGKey(7), e), static,
+        )
+        losses.append(float(aux["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < 0.6 * losses[0], losses

@@ -14,6 +14,28 @@ import sys
 import numpy as np
 
 
+# vgg16.features conv indices: 0,2, 5,7, 10,12,14, 17,19,21, 24,26,28
+CONV_IDX = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
+
+
+def convert(vgg_sd, lin_sd):
+    """(vgg16.features state dict, lpips linear-head dict) -> JAX pytree.
+
+    conv weights OIHW -> HWIO; lpips 1x1 heads (C_out=1, C, 1, 1) -> (C, 1).
+    """
+    convs = {}
+    for i, ci in enumerate(CONV_IDX):
+        w = np.asarray(vgg_sd[f"{ci}.weight"]).transpose(2, 3, 1, 0)
+        b = np.asarray(vgg_sd[f"{ci}.bias"])
+        convs[str(i)] = {"w": w, "b": b}
+    lins = {}
+    for i in range(5):
+        key = f"lin{i}.model.1.weight"
+        w = np.asarray(lin_sd[key]).reshape(-1)[:, None]  # (1,C,1,1)->(C,1)
+        lins[str(i)] = {"w": w}
+    return {"convs": convs, "lins": lins}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("out", nargs="?", default=os.path.join(
@@ -41,25 +63,14 @@ def main():
             for i in range(5)
         }
 
-    # vgg16.features conv indices: 0,2, 5,7, 10,12,14, 17,19,21, 24,26,28
-    conv_idx = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
-    convs = {}
-    for i, ci in enumerate(conv_idx):
-        w = np.asarray(vgg_sd[f"{ci}.weight"]).transpose(2, 3, 1, 0)
-        b = np.asarray(vgg_sd[f"{ci}.bias"])
-        convs[str(i)] = {"w": w, "b": b}
-    lins = {}
-    for i in range(5):
-        key = f"lin{i}.model.1.weight"
-        w = np.asarray(lin_sd[key]).reshape(-1)[:, None]  # (C,1,1,1)->(C,1)
-        lins[str(i)] = {"w": w}
+    params = convert(vgg_sd, lin_sd)
 
     sys.path.insert(0, os.path.join(os.path.dirname(
         os.path.abspath(__file__)), ".."))
     from nope_nerf_tpu.training.checkpoints import save_pytree
 
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
-    save_pytree(args.out, {"params": {"convs": convs, "lins": lins}})
+    save_pytree(args.out, {"params": params})
     print(f"wrote {args.out}")
 
 
