@@ -31,8 +31,10 @@ H, W = 540, 960
 N_RAYS = 1024
 N_FRAMES = 8
 WARMUP_DISPATCHES = 2
-SCAN_STEPS = 8          # steps fused per dispatch (one "epoch" over frames)
-MEASURE_DISPATCHES = 8  # 64 steps measured
+SCAN_STEPS = 32         # steps fused per dispatch; production epochs scan
+                        # n_views steps (Tanks: ~200), so this still
+                        # under-amortises the dispatch vs a real epoch
+MEASURE_DISPATCHES = 2  # 64 steps measured
 
 
 def build():

@@ -212,18 +212,16 @@ def _apply_nerf_fused(params, pts, dirs, cfg_model, L_pos, L_dir):
     if pad:
         pts = jnp.pad(pts, ((0, pad), (0, 0)))
         dirs = jnp.pad(dirs, ((0, pad), (0, 0)))
-    raw_rgb, raw_sigma = fused_mlp(collect_weights(params), pts, dirs,
-                                   L_pos, L_dir)
+    # head activations (softplus/relu, occupancy alpha, rgb sigmoid) run in
+    # the kernel epilogue — XLA would schedule them on (M, 1)/(M, 3) HBM
+    # arrays where 125+/128 VPU lanes idle (~0.6 ms/step fwd+bwd)
+    rgb, density = fused_mlp(
+        collect_weights(params), pts, dirs, L_pos, L_dir,
+        cfg_model["occ_activation"], not cfg_model["dist_alpha"],
+    )
     if pad:
-        raw_rgb = raw_rgb[:M]
-        raw_sigma = raw_sigma[:M]
-    if cfg_model["occ_activation"] == "softplus":
-        density = jax.nn.softplus(raw_sigma)
-    else:
-        density = jax.nn.relu(raw_sigma)
-    if not cfg_model["dist_alpha"]:
-        density = 1.0 - jnp.exp(-density)
-    rgb = jax.nn.sigmoid(raw_rgb)
+        rgb = rgb[:M]
+        density = density[:M]
     return rgb, density
 
 

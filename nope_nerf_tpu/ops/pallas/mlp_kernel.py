@@ -187,20 +187,54 @@ def _weights_dict(args):
     return W
 
 
-def _make_fwd_kernel(l_pos, l_dir):
+def _softplus(x):
+    """Numerically stable softplus for in-kernel f32 use."""
+    return jnp.maximum(x, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(x)))
+
+
+def _act_fwd(raw_sigma, raw_rgb, act, occ_alpha):
+    """Head activations in the kernel epilogue (VPU, fused with the matmul
+    chain — XLA would otherwise run them on (M, 1)/(M, 3) HBM arrays where
+    125+/128 lanes idle): density softplus/relu (+ optional occupancy alpha
+    1 - exp(-d), `model/official_nerf.py:69-96`), rgb sigmoid."""
+    d = _softplus(raw_sigma) if act == "softplus" else jnp.maximum(
+        raw_sigma, 0.0)
+    if occ_alpha:
+        d = 1.0 - jnp.exp(-d)
+    return jax.nn.sigmoid(raw_rgb), d
+
+
+def _act_bwd(raw_sigma, raw_rgb, g_rgb, g_d, act, occ_alpha):
+    """Cotangents w.r.t. the raw head outputs, recomputed from the raw
+    values already in VMEM."""
+    s = jax.nn.sigmoid(raw_rgb)
+    g_raw_rgb = g_rgb * s * (1.0 - s)
+    if act == "softplus":
+        dd = jax.nn.sigmoid(raw_sigma)          # softplus'
+        d0 = _softplus(raw_sigma)
+    else:
+        dd = (raw_sigma > 0.0).astype(_F32)
+        d0 = jnp.maximum(raw_sigma, 0.0)
+    if occ_alpha:
+        dd = dd * jnp.exp(-d0)                  # chain through 1 - exp(-d)
+    return g_raw_rgb, g_d * dd
+
+
+def _make_fwd_kernel(l_pos, l_dir, act, occ_alpha):
     def kernel(pt_ref, dt_ref, *wrefs):
         rgb_ref, sigma_ref = wrefs[-2:]
         W = _weights_dict([r[:] for r in wrefs[:-2]])
         enc = _encode_fwd(pt_ref[:], l_pos)[0].astype(_BF)
         denc = _encode_fwd(dt_ref[:], l_dir)[0].astype(_BF)
         _, raw_sigma, raw_rgb = _fwd_chain(enc, denc, W)
-        rgb_ref[:] = raw_rgb
-        sigma_ref[:] = raw_sigma
+        rgb, d = _act_fwd(raw_sigma, raw_rgb, act, occ_alpha)
+        rgb_ref[:] = rgb
+        sigma_ref[:] = d
 
     return kernel
 
 
-def _make_bwd_kernel(l_pos, l_dir):
+def _make_bwd_kernel(l_pos, l_dir, act, occ_alpha):
     def kernel(pt_ref, dt_ref, grgb_ref, gsig_ref, *rest):
         # rest = 24 weight refs, then outputs:
         #   dpt_out, ddt_out, 24 dW/db accumulators
@@ -220,7 +254,7 @@ def _make_bwd_kernel(l_pos, l_dir):
         denc_f, sin_d, cos_d = _encode_fwd(dt_ref[:], l_dir)
         enc = enc_f.astype(_BF)
         denc = denc_f.astype(_BF)
-        a, _, _ = _fwd_chain(enc, denc, W)
+        a, raw_sigma, raw_rgb = _fwd_chain(enc, denc, W)
 
         def gidx(name):
             k = W_NAMES.index(name)
@@ -231,8 +265,8 @@ def _make_bwd_kernel(l_pos, l_dir):
             gw[:] += _mm_acc(x, g)
             gb[:] += jnp.sum(g, axis=0, keepdims=True)
 
-        g_rgb = grgb_ref[:]
-        g_sig = gsig_ref[:]
+        g_rgb, g_sig = _act_bwd(raw_sigma, raw_rgb, grgb_ref[:],
+                                gsig_ref[:], act, occ_alpha)
 
         def relu_mask(x):
             # Mosaic has no cmpf on packed bf16 vectors — compare in f32
@@ -303,30 +337,34 @@ def _cast_weights(weights):
             for i, w in enumerate(weights)]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def fused_mlp(weights, pts, dirs, l_pos=10, l_dir=4):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def fused_mlp(weights, pts, dirs, l_pos=10, l_dir=4, act="softplus",
+              occ_alpha=False):
     """Full encoded-field chain: (24 f32 weight arrays from
     :func:`collect_weights`, pts (M, 3) f32, dirs (M, 3) f32)
-    -> (raw_rgb (M, 3) f32, raw_sigma (M, 1) f32).
+    -> (rgb (M, 3) f32 post-sigmoid, density (M, 1) f32 post-activation).
 
     Positional encoding happens in-kernel (channel expansion on the MXU,
-    sin/cos on the VPU, f32). Weights are cast to bf16 at the kernel
-    boundary; their gradients come back f32 for the Adam update.
+    sin/cos on the VPU, f32); the head activations (``act`` softplus/relu,
+    optional occupancy alpha ``occ_alpha``, rgb sigmoid) run in the kernel
+    epilogue. Weights are cast to bf16 at the kernel boundary; their
+    gradients come back f32 for the Adam update.
     M must be a multiple of BM (callers pad).
     """
-    out, _ = _fused_mlp_fwd(weights, pts, dirs, l_pos, l_dir)
+    out, _ = _fused_mlp_fwd(weights, pts, dirs, l_pos, l_dir, act, occ_alpha)
     return out
 
 
-def _fused_mlp_call(weights, pts, dirs, l_pos, l_dir, interpret=None):
+def _fused_mlp_call(weights, pts, dirs, l_pos, l_dir, act="softplus",
+                    occ_alpha=False, interpret=None):
     if interpret is None:
         interpret = INTERPRET
     M = pts.shape[0]
     weights = _cast_weights(weights)
     shapes = [w.shape for w in weights]
     grid = (M // BM,)
-    raw_rgb, raw_sigma = pl.pallas_call(
-        _make_fwd_kernel(l_pos, l_dir),
+    rgb, density = pl.pallas_call(
+        _make_fwd_kernel(l_pos, l_dir, act, occ_alpha),
         grid=grid,
         in_specs=[
             pl.BlockSpec((BM, 3), lambda i: (i, 0),
@@ -344,16 +382,17 @@ def _fused_mlp_call(weights, pts, dirs, l_pos, l_dir, interpret=None):
         ],
         interpret=interpret,
     )(pts, dirs, *weights)
-    return raw_rgb, raw_sigma
+    return rgb, density
 
 
-def _fused_mlp_fwd(weights, pts, dirs, l_pos, l_dir):
-    out = _fused_mlp_call(weights, pts, dirs, l_pos, l_dir)
+def _fused_mlp_fwd(weights, pts, dirs, l_pos, l_dir, act, occ_alpha):
+    out = _fused_mlp_call(weights, pts, dirs, l_pos, l_dir, act, occ_alpha)
     return out, (weights, pts, dirs)
 
 
 def _fused_mlp_bwd_call(weights, pts, dirs, g_rgb, g_sigma,
-                        l_pos, l_dir, interpret=None):
+                        l_pos, l_dir, act="softplus", occ_alpha=False,
+                        interpret=None):
     if interpret is None:
         interpret = INTERPRET
     M = pts.shape[0]
@@ -378,7 +417,7 @@ def _fused_mlp_bwd_call(weights, pts, dirs, g_rgb, g_sigma,
         )
         out_shape.append(jax.ShapeDtypeStruct(s, _F32))
     outs = pl.pallas_call(
-        _make_bwd_kernel(l_pos, l_dir),
+        _make_bwd_kernel(l_pos, l_dir, act, occ_alpha),
         grid=grid,
         # the recomputed activations + f32 gradient accumulators need ~17 MB;
         # raise the 16 MB default scoped-VMEM limit (v5e has 128 MB VMEM)
@@ -398,12 +437,13 @@ def _fused_mlp_bwd_call(weights, pts, dirs, g_rgb, g_sigma,
     return d_weights, d_pts, d_dirs
 
 
-def _fused_mlp_bwd(l_pos, l_dir, res, g):
+def _fused_mlp_bwd(l_pos, l_dir, act, occ_alpha, res, g):
     weights, pts, dirs = res
     g_rgb, g_sigma = g
     d_weights, d_pts, d_dirs = _fused_mlp_bwd_call(
         weights, pts, dirs,
-        g_rgb.astype(_F32), g_sigma.astype(_F32), l_pos, l_dir,
+        g_rgb.astype(_F32), g_sigma.astype(_F32), l_pos, l_dir, act,
+        occ_alpha,
     )
     return d_weights, d_pts, d_dirs
 
