@@ -310,7 +310,14 @@ def render_image(nerf_params, resolution, camera_mat, world_mat, scale_mat,
     chunk = min(chunk, resolution[0] * resolution[1])
     mesh_key = None
     if mesh is not None:
-        mesh_key = id(mesh)
+        # semantic key (axes + device ids), NOT id(mesh): a dead mesh's id
+        # can be reused by a new object, silently resurrecting a stale
+        # cached jit. Two meshes with equal keys are interchangeable here.
+        mesh_key = (
+            tuple(mesh.axis_names),
+            mesh.devices.shape,
+            tuple(d.id for d in mesh.devices.ravel()),
+        )
         _MESH_REGISTRY[mesh_key] = mesh
         if chunk % len(mesh.devices.ravel()) != 0:
             raise ValueError("chunk must divide evenly over mesh devices")

@@ -70,6 +70,36 @@ class TestLLFFPipeline:
         assert os.path.isdir(os.path.join(disk_scene, "images_2"))
         assert scene.imgs.shape[1:] == (12, 16, 3)
 
+    def test_crop_size(self, disk_scene):
+        """crop_size pipeline (`dataloading/common.py:67-85`): borders of
+        crop_size rows (and the aspect-matched columns) are cut, the image
+        is resized back to (W, H), and crop_ratio / focal_crop_factor carry
+        the intrinsics correction."""
+        from PIL import Image
+
+        from nope_nerf_tpu.dataloading.llff import load_llff_data
+
+        k = 4
+        data = load_llff_data(disk_scene, crop_size=k)
+        H, W = 24, 32
+        assert data["imgs"].shape[1:] == (H, W, 3)  # resized back
+        assert data["crop_ratio"] == k / H
+        assert data["focal_crop_factor"] == (H - 2 * k) / H
+        crop_dir = os.path.join(disk_scene, "images_cropped")
+        assert os.path.isdir(crop_dir)
+        # golden: first image equals crop -> resize of the original
+        names = sorted(
+            f for f in os.listdir(os.path.join(disk_scene, "images"))
+            if f.lower().endswith(("jpg", "png"))
+        )
+        src = np.asarray(Image.open(
+            os.path.join(disk_scene, "images", names[0])))
+        cw = int(k * W / H)
+        want = np.asarray(
+            Image.fromarray(src[k:H - k, cw:W - cw]).resize((W, H)),
+            np.float32) / 255.0
+        np.testing.assert_allclose(data["imgs"][0], want, atol=1e-6)
+
     def test_roundtrip_poses_consistent(self, disk_scene):
         """Images rendered at the written poses must still photometrically
         match after the loader's recenter+rescale (a NeRF in the new frame)."""
