@@ -31,10 +31,11 @@ H, W = 540, 960
 N_RAYS = 1024
 N_FRAMES = 8
 WARMUP_DISPATCHES = 2
-SCAN_STEPS = 32         # steps fused per dispatch; production epochs scan
-                        # n_views steps (Tanks: ~200), so this still
-                        # under-amortises the dispatch vs a real epoch
-MEASURE_DISPATCHES = 2  # 64 steps measured
+SCAN_STEPS = 64         # steps fused per dispatch; production epochs scan
+                        # n_views steps (Tanks Ignatius: ~230 train views),
+                        # so this still under-amortises the per-dispatch
+                        # tunnel round-trip vs a real epoch
+MEASURE_DISPATCHES = 2  # 128 steps measured
 
 
 def build():

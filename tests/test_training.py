@@ -183,6 +183,42 @@ class TestTrainStep:
         assert len(psnrs) >= 10
         assert psnrs[-1] > psnrs[0] + 1.0, f"no convergence: {psnrs[:3]}...{psnrs[-3:]}"
 
+    def test_pipelined_epoch_metrics_complete(self, scene, tmp_path):
+        """The epoch-scan loop processes metrics one epoch behind the device
+        (training/loop.py _process_epoch_metrics). Every epoch must still be
+        logged exactly once, including the final epoch via the drain after
+        the loop — a missing drain or a double-process shows up here."""
+        import json
+
+        cfg = tiny_config(scene, str(tmp_path / "pipe"), n_training_points=64,
+                          num_points=16)
+        cfg["pose"].update({"learn_R": False, "learn_t": False,
+                            "init_pose": True, "init_pose_type": "gt"})
+        cfg["training"].update({
+            "scheduling_start": 0, "annealing_epochs": 0,
+            "auto_scheduler": False, "visualize_every": 0,
+            "eval_pose_every": 0, "checkpoint_every": 0,
+        })
+        from nope_nerf_tpu.training.loop import train
+
+        n_epochs = 7
+        train(cfg, max_epochs=n_epochs, scene=scene)
+        events = [
+            json.loads(l)
+            for l in open(os.path.join(cfg["training"]["out_dir"], "logs",
+                                       "events.jsonl"))
+        ]
+        n_views = scene.N_imgs
+        psnr_steps = [e["step"] for e in events if e["tag"] == "train/psnr"]
+        # n_epochs epochs run (0-based); eval_img_every=1 in tiny_config ->
+        # one psnr entry per epoch, in order, at the epoch's last 0-based
+        # step it = (epoch+1)*n_views - 1. The last entry exists only if
+        # the post-loop drain processed the final pending epoch.
+        want = [e * n_views - 1 for e in range(1, n_epochs + 1)]
+        assert psnr_steps == want, (psnr_steps, want)
+        lr_steps = [e["step"] for e in events if e["tag"] == "train/lr_nerf"]
+        assert lr_steps == want
+
     def test_checkpoint_roundtrip(self, cfg, scene, tmp_path):
         from nope_nerf_tpu.training.checkpoints import CheckpointIO
 
