@@ -34,7 +34,7 @@ import optax
 from jax import lax
 
 from ..geometry.align import align_ate_c2b_use_a2b, align_scale_c2b_use_a2b
-from ..geometry.rays import rigid_inv
+from ..geometry.rays import pixels_from_flat_idx, rigid_inv
 from ..models.pose import all_poses, init_pose_params, pose_c2w
 from ..ops.rendering import render_rays
 
@@ -91,9 +91,7 @@ def make_pose_opt_block(cfg, render_cfg, init_c2w, n_points, hw):
         else:
             ray_idx = jax.random.choice(rng, H * W, shape=(n_points,),
                                         replace=False)
-        px = 2.0 * (ray_idx % W).astype(jnp.float32) / (W - 1) - 1.0
-        py = 2.0 * (ray_idx // W).astype(jnp.float32) / (H - 1) - 1.0
-        p = jnp.stack([px, py], axis=-1)
+        p, _, _ = pixels_from_flat_idx(ray_idx, (H, W))
         rgb_gt = eval_imgs[i].reshape(-1, 3)[ray_idx]
         depth = jnp.ones(n_points, jnp.float32)
         out = render_rays(

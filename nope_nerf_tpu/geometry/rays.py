@@ -51,6 +51,23 @@ def arange_pixels(resolution, image_range=(-1.0, 1.0)):
     return loc.astype(jnp.int32), scaled
 
 
+def pixels_from_flat_idx(idx, hw):
+    """Scaled [-1, 1] pixel coordinates straight from flat row-major pixel
+    indices — the O(n_rays) equivalent of ``arange_pixels(hw)[1][idx]``
+    (building the full (H*W, 2) grid per step costs ~2 ms at 540x960).
+    Shared by the train step and test-time pose opt so the pixel convention
+    cannot desynchronise between them.
+
+    Returns (pixel_scaled (n, 2) [x, y] float32, rows (n,), cols (n,)).
+    """
+    H, W = hw
+    rr = idx // W
+    rc = idx % W
+    px = 2.0 * rc.astype(jnp.float32) / (W - 1) - 1.0
+    py = 2.0 * rr.astype(jnp.float32) / (H - 1) - 1.0
+    return jnp.stack([px, py], axis=-1), rr, rc
+
+
 def rigid_inv(M):
     """Closed-form inverse of a rigid 4x4 [[R, t], [0, 1]]: [[Rᵀ, -Rᵀt], [0, 1]].
 

@@ -54,15 +54,22 @@ _BIG = 1e10      # any invalid pairing scores >= (sentinel distance)^2 = 1e10
 _SENTINEL = 1e5  # X moved to +S, Y to -S: valid<->invalid >= S^2, inv<->inv 4S^2
 
 
-def _make_kernel(nj):
-    def kernel(x_ref, yt_ref, idx_x_ref, idx_y_ref, col_min, col_idx):
+def _make_kernel(nj, two_dir=True):
+    """``two_dir=False`` builds the row-only (X -> Y) variant: no column
+    scratch, no per-tile column min/argmin passes — the per-shard sharded
+    loss sweeps each direction with its own call and would otherwise pay
+    the unused reduction on every tile."""
+
+    def kernel(x_ref, yt_ref, idx_x_ref, *rest):
         i = pl.program_id(0)
         ni = pl.num_programs(0)
+        if two_dir:
+            idx_y_ref, col_min, col_idx = rest
 
-        @pl.when(i == 0)
-        def _():
-            col_min[:] = jnp.full(col_min.shape, _BIG, jnp.float32)
-            col_idx[:] = jnp.zeros(col_idx.shape, jnp.int32)
+            @pl.when(i == 0)
+            def _():
+                col_min[:] = jnp.full(col_min.shape, _BIG, jnp.float32)
+                col_idx[:] = jnp.zeros(col_idx.shape, jnp.int32)
 
         # (TILE_X, 1) coordinate columns — broadcast against the lane-major
         # (1, CHUNK_Y) Y rows below
@@ -85,14 +92,16 @@ def _make_kernel(nj):
             row_min = jnp.where(better, tmin, row_min)
             row_idx = jnp.where(better, targ, row_idx)
 
-            # --- direction Y -> X: column argmin ---------------------------
-            tmin_y = jnp.min(dist, axis=0)
-            targ_y = jnp.argmin(dist, axis=0).astype(jnp.int32) + i * TILE_X
-            cm = col_min[sl]
-            ci = col_idx[sl]
-            bet = tmin_y < cm
-            col_min[sl] = jnp.where(bet, tmin_y, cm)
-            col_idx[sl] = jnp.where(bet, targ_y, ci)
+            if two_dir:
+                # --- direction Y -> X: column argmin -----------------------
+                tmin_y = jnp.min(dist, axis=0)
+                targ_y = jnp.argmin(dist, axis=0).astype(jnp.int32) \
+                    + i * TILE_X
+                cm = col_min[sl]
+                ci = col_idx[sl]
+                bet = tmin_y < cm
+                col_min[sl] = jnp.where(bet, tmin_y, cm)
+                col_idx[sl] = jnp.where(bet, targ_y, ci)
             return row_min, row_idx
 
         row_min0 = jnp.full((TILE_X,), _BIG, jnp.float32)
@@ -102,9 +111,10 @@ def _make_kernel(nj):
         _, row_idx = lax.fori_loop(0, nj, body, (row_min0, row_idx0))
         idx_x_ref[i, :] = row_idx
 
-        @pl.when(i == ni - 1)
-        def _():
-            idx_y_ref[0, :] = col_idx[:]
+        if two_dir:
+            @pl.when(i == ni - 1)
+            def _():
+                idx_y_ref[0, :] = col_idx[:]
 
     return kernel
 
@@ -125,9 +135,13 @@ def _prep(pts, valid, n, sentinel):
     return pts
 
 
-def nearest_idx_pallas(X, Y, x_valid=None, y_valid=None, interpret=False):
+def nearest_idx_pallas(X, Y, x_valid=None, y_valid=None, interpret=False,
+                       two_dir=True):
     """Pallas drop-in for ops.chamfer.nearest_idx (same contract; indices at
-    invalid rows/columns are arbitrary — callers mask them)."""
+    invalid rows/columns are arbitrary — callers mask them).
+
+    ``two_dir=False`` returns only idx_x (X -> Y) and skips the column
+    reduction entirely."""
     X = lax.stop_gradient(X)
     Y = lax.stop_gradient(Y)
     S, D = X.shape[0], Y.shape[0]
@@ -137,8 +151,25 @@ def nearest_idx_pallas(X, Y, x_valid=None, y_valid=None, interpret=False):
     Yp = _prep(Y, y_valid, Dp, -_SENTINEL)
 
     ni, nj = Sp // TILE_X, Dp // CHUNK_Y
-    idx_x, idx_y = pl.pallas_call(
-        _make_kernel(nj),
+    # full-array output blocks (VMEM-resident for the whole kernel):
+    # written with dynamic row indices at the flush steps
+    out_specs = [
+        pl.BlockSpec((ni, TILE_X), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [jax.ShapeDtypeStruct((ni, TILE_X), jnp.int32)]
+    scratch = []
+    if two_dir:
+        out_specs.append(
+            pl.BlockSpec((1, Dp), lambda i: (0, 0), memory_space=pltpu.VMEM)
+        )
+        out_shape.append(jax.ShapeDtypeStruct((1, Dp), jnp.int32))
+        scratch = [
+            pltpu.VMEM((Dp,), jnp.float32),
+            pltpu.VMEM((Dp,), jnp.int32),
+        ]
+    outs = pl.pallas_call(
+        _make_kernel(nj, two_dir),
         grid=(ni,),
         in_specs=[
             pl.BlockSpec((TILE_X, 3), lambda i: (i, 0),
@@ -148,24 +179,14 @@ def nearest_idx_pallas(X, Y, x_valid=None, y_valid=None, interpret=False):
             pl.BlockSpec((3, Dp), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        # full-array output blocks (VMEM-resident for the whole kernel):
-        # written with dynamic row indices at the flush steps
-        out_specs=[
-            pl.BlockSpec((ni, TILE_X), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Dp), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((ni, TILE_X), jnp.int32),
-            jax.ShapeDtypeStruct((1, Dp), jnp.int32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((Dp,), jnp.float32),
-            pltpu.VMEM((Dp,), jnp.int32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
         interpret=interpret,
     )(Xp, Yp.T)
+    if not two_dir:
+        return outs[0].reshape(-1)[:S]
+    idx_x, idx_y = outs
     return idx_x.reshape(-1)[:S], idx_y.reshape(-1)[:D]
 
 
@@ -195,10 +216,10 @@ def chamfer_loss_pallas_sharded(X, Y, mesh, interpret=False):
     per-shard under ``shard_map``: each device owns a slice of X (and of Y)
     and sweeps it against the **all-gathered** other cloud — Y is ~0.4 MB at
     Tanks scale, so the gather is noise on ICI while the O(S·D) distance
-    work divides by the mesh size. Each direction is one kernel call on its
-    owner's rows (the combined two-direction kernel would need a
-    cross-device argmin merge; two calls keep the reduction local and still
-    cut per-device work by n_dev/2). Differentiable exactly like
+    work divides by the mesh size. Each direction is one ROW-ONLY kernel
+    call (``two_dir=False``) on its owner's rows — the combined
+    two-direction kernel would need a cross-device argmin merge, and its
+    column passes would be dead work here. Differentiable exactly like
     :func:`chamfer_loss_pallas` — argmin is gradient-free, the
     distance-to-gathered-point is autodiffed, and ``all_gather``'s
     transpose (reduce-scatter) routes the Y-side gradients home.
@@ -232,8 +253,10 @@ def chamfer_loss_pallas_sharded(X, Y, mesh, interpret=False):
     def f(xs, xvs, ys, yvs):
         Yf = jax.lax.all_gather(ys, axis, tiled=True)
         Xf = jax.lax.all_gather(xs, axis, tiled=True)
-        idx_x, _ = nearest_idx_pallas(xs, Yf, interpret=interpret)
-        idx_y, _ = nearest_idx_pallas(ys, Xf, interpret=interpret)
+        idx_x = nearest_idx_pallas(xs, Yf, interpret=interpret,
+                                   two_dir=False)
+        idx_y = nearest_idx_pallas(ys, Xf, interpret=interpret,
+                                   two_dir=False)
         dxv = xs - Yf[idx_x]
         dyv = ys - Xf[idx_y]
         dx = jnp.sqrt(jnp.maximum(jnp.sum(dxv * dxv, axis=-1), 1e-24))

@@ -277,11 +277,14 @@ def train(cfg, max_epochs=None, scene=None):
     t0b = time.time()
     pending_prev = None
 
-    def _pose_metrics(it):
-        """Per-epoch pose accuracy (`train.py:277-290`)."""
+    def _pose_metrics(it, pose_params):
+        """Per-epoch pose accuracy (`train.py:277-290`). ``pose_params`` is
+        the epoch-end snapshot captured at dispatch time, so pipelined
+        processing logs the RIGHT epoch's poses at ``it`` (not the
+        one-epoch-ahead live state)."""
         learned = np.asarray(
             all_poses(
-                state.params["pose"], init_c2w,
+                pose_params, init_c2w,
                 cfg["pose"]["learn_R"], cfg["pose"]["learn_t"],
             )
         )
@@ -297,7 +300,7 @@ def train(cfg, max_epochs=None, scene=None):
         PSNR, pose eval, plateau/scheduler update (and the 'reset'-mode field
         re-init). In pipelined mode this runs one epoch behind the device."""
         nonlocal state, key, t0b
-        p_epoch, p_it, aux_mean, aux_last, p_order = pending
+        p_epoch, p_it, aux_mean, aux_last, p_order, p_pose = pending
         aux_host = jax.device_get(aux_mean)
         logger.add_scalar("train/loss_pc_epoch",
                           float(aux_host["loss_pc"]), p_it)
@@ -334,7 +337,7 @@ def train(cfg, max_epochs=None, scene=None):
             and gt_poses is not None
             and cfg["pose"]["learn_pose"]
         ):
-            _pose_metrics(p_it)
+            _pose_metrics(p_it, p_pose)
         psnr = float(mse2psnr(float(aux_host["l2_mean"])))
         if eval_img_every > 0 and (p_epoch % eval_img_every) == 0:
             logger.add_scalar("train/psnr", psnr, p_it)
@@ -399,12 +402,21 @@ def train(cfg, max_epochs=None, scene=None):
             sched_state.it += n_views
             it = sched_state.it
             throughput.tick(n_views)
-            pending = (epoch, it, aux_mean, aux_last, order0)
-            # sync + process the PREVIOUS epoch's metrics (device keeps
-            # running the epoch just dispatched above)
-            if pending_prev is not None:
-                _process_epoch_metrics(pending_prev)
-            pending_prev = pending
+            # pose params snapshotted lazily (device array, no sync): this
+            # IS epoch e's end state even when processed one epoch later
+            pending = (epoch, it, aux_mean, aux_last, order0,
+                       state.params["pose"])
+            if cfg["training"]["scheduling_mode"] == "reset":
+                # 'reset' re-initialises the field the moment the plateau
+                # fires; a pipelined (lagged) reset would silently discard
+                # one trained epoch, so this mode syncs eagerly
+                _process_epoch_metrics(pending)
+            else:
+                # sync + process the PREVIOUS epoch's metrics (device keeps
+                # running the epoch just dispatched above)
+                if pending_prev is not None:
+                    _process_epoch_metrics(pending_prev)
+                pending_prev = pending
             if (
                 vis_reproj_every > 0
                 and static.get("use_rgb_s")
@@ -500,7 +512,7 @@ def train(cfg, max_epochs=None, scene=None):
             and gt_poses is not None
             and cfg["pose"]["learn_pose"]
         ):
-            _pose_metrics(sched_state.it)
+            _pose_metrics(sched_state.it, state.params["pose"])
 
         psnr = float(mse2psnr(np.mean(l2_epoch)))
         if eval_img_every > 0 and (epoch % eval_img_every) == 0:

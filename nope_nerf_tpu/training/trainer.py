@@ -29,6 +29,7 @@ from jax import lax
 from ..geometry.rays import (
     arange_pixels,
     camera_mat_from_fxfy,
+    pixels_from_flat_idx,
     project_to_cam,
     rigid_inv,
     transform_to_world,
@@ -183,14 +184,7 @@ def compute_loss(
 
             r_idx = shard_rays(r_idx, mesh)
         rgb_gt_f = img_f.reshape(-1, 3)[r_idx]
-        # scaled pixel coords straight from the flat indices (O(n_rays);
-        # building the full (H*W, 2) grid per step like arange_pixels costs
-        # ~2 ms)
-        rr = r_idx // W
-        rc = r_idx % W
-        px = 2.0 * rc.astype(jnp.float32) / (W - 1) - 1.0
-        py = 2.0 * rr.astype(jnp.float32) / (H - 1) - 1.0
-        p = jnp.stack([px, py], axis=-1)
+        p, rr, rc = pixels_from_flat_idx(r_idx, (H, W))
         # prior depth at the sampled rays (`model/network.py:22-25`): the
         # reference nearest-resizes the depth map to (H, W) then gathers;
         # gather ∘ resize_nearest == gather at floor-mapped indices, and the
@@ -200,7 +194,18 @@ def compute_loss(
         if (hd, wd) == (H, W):
             didx = r_idx
         else:
-            didx = (rr * hd) // H * wd + (rc * wd) // W
+            # EXACT resize_nearest/torch-F.interpolate index math: source =
+            # floor(dst * f32(in/out)). The integer-exact (rr*hd)//H differs
+            # on boundary rows where the f32 product rounds across an
+            # integer, silently shifting the sampled depth row vs the
+            # reference path (ops/interp.py:77-78).
+            drr = jnp.floor(
+                rr.astype(jnp.float32) * jnp.float32(hd / H)
+            ).astype(jnp.int32)
+            drc = jnp.floor(
+                rc.astype(jnp.float32) * jnp.float32(wd / W)
+            ).astype(jnp.int32)
+            didx = drr * wd + drc
         d_rays = depth_f.reshape(-1)[didx]
         if pcfg["learn_pose"]:
             world_f = rigid_inv(

@@ -107,6 +107,27 @@ class TestChamfer:
 
 
 class TestInterp:
+    def test_trainer_depth_gather_matches_resize_nearest(self, rng):
+        """The trainer's inline depth-prior index math must reproduce
+        gather(resize_nearest(depth)) EXACTLY — including the f32 floor
+        rounding on boundary rows (hd=252, H=480 hits several)."""
+        from nope_nerf_tpu.ops.interp import resize_nearest
+
+        hd, wd, H, W = 252, 448, 480, 640
+        depth = jnp.asarray(rng.uniform(size=(hd, wd)), jnp.float32)
+        big = resize_nearest(depth, (H, W))
+        r_idx = jnp.arange(H * W, dtype=jnp.int32)  # every pixel
+        rr = r_idx // W
+        rc = r_idx % W
+        # the exact formula used in trainer.compute_loss
+        drr = jnp.floor(rr.astype(jnp.float32) * jnp.float32(hd / H)
+                        ).astype(jnp.int32)
+        drc = jnp.floor(rc.astype(jnp.float32) * jnp.float32(wd / W)
+                        ).astype(jnp.int32)
+        got = depth.reshape(-1)[drr * wd + drc]
+        np.testing.assert_array_equal(np.asarray(got),
+                                      np.asarray(big).reshape(-1))
+
     def test_grid_sample_centers_align_corners(self, rng):
         img = jnp.asarray(rng.uniform(size=(5, 7, 3)), jnp.float32)
         # align_corners=True: coord -1 -> pixel 0, +1 -> pixel W-1
