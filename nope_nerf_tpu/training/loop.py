@@ -210,9 +210,22 @@ def train(cfg, max_epochs=None, scene=None):
             opt_state=jax.tree.map(jnp.asarray, opt_state),
         )
     epoch_scan = cfg.get("tpu", {}).get("epoch_scan", True)
+    # multi-chip: tpu.n_devices > 1 shards rays/points over a 1-D mesh
+    # (parallel/mesh.py); params + opt state replicated, XLA inserts the
+    # ICI grad all-reduce. n_training_points must divide over the mesh.
+    n_dev = int(cfg.get("tpu", {}).get("n_devices", 1) or 1)
+    mesh = None
+    if n_dev > 1:
+        from ..parallel.mesh import make_ray_mesh, replicated
+
+        mesh = make_ray_mesh(n_dev)
+        state = jax.device_put(state, replicated(mesh))
+        scene_arrs = jax.device_put(scene_arrs, replicated(mesh))
+        if init_c2w is not None:
+            init_c2w = jax.device_put(init_c2w, replicated(mesh))
     if epoch_scan:
-        epoch_fn = make_epoch_step(cfg, render_cfg, init_c2w)
-    step_fn = make_train_step(cfg, render_cfg, init_c2w)
+        epoch_fn = make_epoch_step(cfg, render_cfg, init_c2w, mesh=mesh)
+    step_fn = make_train_step(cfg, render_cfg, init_c2w, mesh=mesh)
 
     camera_mat_gt = jnp.asarray(scene.K)
     scale_mat = jnp.asarray(scene.scale_mat)

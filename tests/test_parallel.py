@@ -151,6 +151,37 @@ class TestShardedEval:
         assert np.isfinite(np.asarray(out)).all()
 
 
+class TestMeshTrainLoop:
+    def test_n_devices_config_drives_sharded_training(self, tmp_path):
+        """tpu.n_devices in the config wires the production train() loop
+        through the ray mesh (not just the dryrun/tests): 3 epochs on the
+        8-device CPU mesh must run, log and keep loss finite."""
+        import json
+        import os
+
+        from nope_nerf_tpu.training.loop import train
+
+        scene = SyntheticScene(n_frames=4, hw=(16, 20), num_points=16)
+        cfg = tiny_config(scene, str(tmp_path / "mesh_out"),
+                          n_training_points=64, num_points=16)
+        cfg["training"].update({
+            "scheduling_start": 0, "annealing_epochs": 0,
+            "auto_scheduler": False, "eval_pose_every": 0,
+            "visualize_every": 0, "checkpoint_every": 0,
+        })
+        cfg.setdefault("tpu", {})["n_devices"] = 8
+        train(cfg, max_epochs=3, scene=scene)
+        events = [
+            json.loads(l)
+            for l in open(os.path.join(cfg["training"]["out_dir"], "logs",
+                                       "events.jsonl"))
+        ]
+        losses = [e["value"] for e in events if e["tag"] == "train/loss"]
+        psnrs = [e["value"] for e in events if e["tag"] == "train/psnr"]
+        assert len(psnrs) == 3
+        assert np.isfinite(losses).all() and np.isfinite(psnrs).all()
+
+
 class TestShardedChamfer:
     def test_sharded_pallas_matches_xla(self):
         """chamfer_loss_pallas_sharded (shard_map, interpret kernels) ==
