@@ -182,6 +182,28 @@ class TestMeshTrainLoop:
         assert np.isfinite(losses).all() and np.isfinite(psnrs).all()
 
 
+    def test_mesh_composes_with_rays_multiplier(self, tmp_path):
+        """tpu.n_devices=8 and tpu.rays_per_step_multiplier=2 together: the
+        vmapped multi-frame sampling must still shard and run."""
+        from nope_nerf_tpu.training.loop import train
+
+        scene = SyntheticScene(n_frames=4, hw=(16, 20), num_points=16)
+        cfg = tiny_config(scene, str(tmp_path / "mm_out"),
+                          n_training_points=64, num_points=16)
+        cfg["training"].update({
+            "scheduling_start": 0, "annealing_epochs": 0,
+            "auto_scheduler": False, "eval_pose_every": 0,
+            "visualize_every": 0, "checkpoint_every": 0,
+        })
+        cfg.setdefault("tpu", {}).update(
+            {"n_devices": 8, "rays_per_step_multiplier": 2})
+        state, _, _ = train(cfg, max_epochs=2, scene=scene)
+        assert all(
+            np.isfinite(np.asarray(l)).all()
+            for l in jax.tree.leaves(state.params)
+        )
+
+
 class TestShardedChamfer:
     def test_sharded_pallas_matches_xla(self):
         """chamfer_loss_pallas_sharded (shard_map, interpret kernels) ==
