@@ -41,12 +41,17 @@ def _conv(x, w, b=None, stride=1, padding="SAME", std=False):
         mean = jnp.mean(w, axis=(0, 1, 2), keepdims=True)
         var = jnp.var(w, axis=(0, 1, 2), keepdims=True)
         w = (w - mean) / jnp.sqrt(var + 1e-6)
+    # HIGHEST precision: monocular depth priors are computed ONCE offline
+    # (preprocess/dpt_depth.py) and supervise the whole training; the
+    # reference's priors come from f32 torch convs — bf16 drift here would
+    # silently change the supervision signal
     out = lax.conv_general_dilated(
         x[None] if x.ndim == 3 else x,
         w,
         window_strides=(stride, stride),
         padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=lax.Precision.HIGHEST,
     )
     if x.ndim == 3:
         out = out[0]

@@ -35,8 +35,13 @@ DEFAULT_WEIGHTS = os.path.join(
 
 
 def _conv(x, w, b):
+    # HIGHEST precision: the default TPU bf16 conv drifts the metric a few
+    # percent over 13 chained layers; the reference computes f32 (eval-only
+    # cost, LPIPS runs once per eval image)
     out = lax.conv_general_dilated(
-        x[None], w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        x[None], w, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=lax.Precision.HIGHEST,
     )[0]
     return out + b
 

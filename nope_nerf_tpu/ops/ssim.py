@@ -27,6 +27,7 @@ def _avg_pool3(x):
         window_strides=(1, 1), padding="VALID",
         feature_group_count=C,
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=jax.lax.Precision.HIGHEST,
     )
     return out[0].transpose(1, 2, 0)
 
@@ -65,10 +66,16 @@ def ssim(img1, img2, window_size: int = 11):
 
     def conv(x):
         x = x.transpose(2, 0, 1)[None]
+        # HIGHEST precision is load-bearing on TPU: the default bf16 MXU
+        # conv makes E[x²] − μ² err by ~1e-3, which exceeds C2 = 9e-4 on
+        # near-constant images — window denominators go NEGATIVE and the
+        # "mean SSIM" leaves [-1, 1] entirely (observed -16.8 on a flat
+        # held-out view). The reference computes these convs in f32 CUDA.
         out = jax.lax.conv_general_dilated(
             x, k, (1, 1), [(pad, pad), (pad, pad)],
             feature_group_count=C,
             dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            precision=jax.lax.Precision.HIGHEST,
         )
         return out[0].transpose(1, 2, 0)
 

@@ -106,6 +106,21 @@ class TestChamfer:
         assert np.abs(np.asarray(g)).sum() > 0
 
 
+class TestSSIMBounds:
+    def test_near_constant_images_stay_in_range(self, rng):
+        """SSIM must stay in [-1, 1] on near-constant images. On TPU the
+        default bf16 conv made E[x²]-μ² err past C2=9e-4, flipping window
+        denominators negative (observed mean SSIM of -16.8); the convs now
+        run at HIGHEST precision."""
+        from nope_nerf_tpu.ops.ssim import ssim
+
+        a = np.full((64, 80, 3), 0.5, np.float32)
+        b = a + rng.normal(scale=2e-3, size=a.shape).astype(np.float32)
+        v = float(ssim(jnp.asarray(a), jnp.asarray(b)))
+        assert -1.0 <= v <= 1.0 + 1e-6, v
+        assert v > 0.9  # near-identical near-constant images
+
+
 class TestInterp:
     def test_trainer_depth_gather_matches_resize_nearest(self, rng):
         """The trainer's inline depth-prior index math must reproduce
