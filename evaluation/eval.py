@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from nope_nerf_tpu.config import DEFAULT_CONFIG, load_config
+from nope_nerf_tpu.config import DEFAULT_CONFIG, check_supported, load_config
 from nope_nerf_tpu.dataloading.scene import get_scene
 from nope_nerf_tpu.evaluation.eval_images import eval_image
 from nope_nerf_tpu.evaluation.metrics import median_scaled_depth_errors
@@ -180,6 +180,7 @@ if __name__ == "__main__":
                         help="evaluate depth metrics")
     args = parser.parse_args()
     cfg = load_config(args.config, DEFAULT_CONFIG)
+    check_supported(cfg)
     if args.depth:
         cfg["extract_images"]["eval_depth"] = True
     main(cfg, eval_depth=cfg["extract_images"]["eval_depth"] or args.depth)

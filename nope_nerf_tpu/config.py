@@ -49,3 +49,39 @@ def update_recursive(dict1: dict, dict2: dict) -> None:
             update_recursive(dict1[k], v)
         else:
             dict1[k] = v
+
+
+def check_supported(cfg) -> None:
+    """Reject configurations the reference itself cannot run.
+
+    The reference exits on ``model.network_type != 'official'``
+    (`evaluation/eval.py:42-46`, `vis/render.py:34-38`), crashes with an
+    UnboundLocalError on ``training.match_method != 'dense'``
+    (`model/losses.py:116-121`) and crashes with an AttributeError on
+    ``training.validate_every > 0`` (`train.py:243` calls a
+    ``trainer.evaluate`` that does not exist). Raise clear errors / warn
+    instead of silently ignoring the keys.
+    """
+    import warnings
+
+    nt = (cfg.get("model", {}) or {}).get("network_type", "official")
+    if nt != "official":
+        raise ValueError(
+            f"model.network_type={nt!r}: only 'official' exists (the "
+            "reference exits on anything else)"
+        )
+    tr = cfg.get("training", {}) or {}
+    mm = tr.get("match_method", "dense")
+    if mm != "dense":
+        raise ValueError(
+            f"training.match_method={mm!r}: only 'dense' exists (the "
+            "reference crashes on anything else)"
+        )
+    if (tr.get("validate_every") or 0) > 0:
+        warnings.warn(
+            "training.validate_every > 0 is ignored: the reference's "
+            "validation branch is non-functional (train.py:243 calls a "
+            "method that does not exist); use eval_img_every / "
+            "eval_pose_every instead",
+            stacklevel=2,
+        )

@@ -121,6 +121,13 @@ def render_rays(
     N = pixels.shape[0]
     depth_range = cfg["depth_range"]
     sample_option = cfg["sample_option"]
+    if precision is None:
+        # tpu.matmul_precision ("default"/"high"/"highest"), plumbed through
+        # make_render_cfg; applies to the f32 XLA MLP path
+        precision = {
+            "high": jax.lax.Precision.HIGH,
+            "highest": jax.lax.Precision.HIGHEST,
+        }.get(cfg.get("matmul_precision", "default"))
 
     from ..models.nerf import apply_nerf  # local import: avoids models<->ops cycle
 

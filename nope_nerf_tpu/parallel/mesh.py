@@ -24,8 +24,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 RAY_AXIS = "rays"
 
 
-def make_ray_mesh(n_devices: int | None = None) -> Mesh:
-    """1-D mesh over the first ``n_devices`` devices."""
+def make_ray_mesh(n_devices: int | None = None,
+                  axis_name: str = RAY_AXIS) -> Mesh:
+    """1-D mesh over the first ``n_devices`` devices (axis name from
+    ``tpu.mesh_axis``, default 'rays')."""
     try:
         devs = jax.devices()
     except Exception:
@@ -49,12 +51,12 @@ def make_ray_mesh(n_devices: int | None = None) -> Mesh:
                     "for CPU testing)"
                 )
         devs = devs[:n_devices]
-    return Mesh(np.array(devs), (RAY_AXIS,))
+    return Mesh(np.array(devs), (axis_name,))
 
 
 def ray_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (ray/point) axis."""
-    return NamedSharding(mesh, P(RAY_AXIS))
+    return NamedSharding(mesh, P(mesh.axis_names[0]))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

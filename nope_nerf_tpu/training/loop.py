@@ -164,6 +164,9 @@ def train(cfg, max_epochs=None, scene=None):
 
     Returns (state, scheduler, scene) for downstream use.
     """
+    from ..config import check_supported
+
+    check_supported(cfg)
     np.random.seed(42)
     pyrng = pyrandom.Random(42)
     key = jax.random.PRNGKey(42)
@@ -218,7 +221,9 @@ def train(cfg, max_epochs=None, scene=None):
     if n_dev > 1:
         from ..parallel.mesh import make_ray_mesh, replicated
 
-        mesh = make_ray_mesh(n_dev)
+        mesh = make_ray_mesh(
+            n_dev, cfg.get("tpu", {}).get("mesh_axis", "rays") or "rays"
+        )
         state = jax.device_put(state, replicated(mesh))
         scene_arrs = jax.device_put(scene_arrs, replicated(mesh))
         if init_c2w is not None:

@@ -561,6 +561,9 @@ def make_render_cfg(cfg):
             "use_pallas_mlp": tpu_cfg.get(
                 "use_pallas_mlp", jax.default_backend() == "tpu"
             ),
+            # MLP matmul precision for the f32 XLA path ("default" |
+            # "high" | "highest"); moot when mlp_bf16/use_pallas_mlp is on
+            "matmul_precision": tpu_cfg.get("matmul_precision", "default"),
         }
     )
     return rc

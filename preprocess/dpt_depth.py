@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from nope_nerf_tpu.config import DEFAULT_CONFIG, load_config
+from nope_nerf_tpu.config import DEFAULT_CONFIG, check_supported, load_config
 from nope_nerf_tpu.dataloading.scene import get_scene
 from nope_nerf_tpu.models.dpt import (
     apply_dpt_batched,
@@ -97,4 +97,5 @@ if __name__ == "__main__":
     parser.add_argument("config", type=str, help="Path to config file.")
     args = parser.parse_args()
     cfg = load_config(args.config, DEFAULT_CONFIG)
+    check_supported(cfg)
     main(cfg)

@@ -207,6 +207,31 @@ def test_matmul_bf16_custom_vjp_grads():
             raise AssertionError(f"f32 dot survived in backward: {line}")
 
 
+def test_check_supported_config():
+    """Unsupported reference keys fail loudly instead of silently:
+    network_type != 'official' and match_method != 'dense' CRASH the
+    reference itself; validate_every > 0 hits a method that does not exist
+    there (train.py:243)."""
+    import warnings
+
+    import pytest as _pytest
+
+    from nope_nerf_tpu.config import check_supported
+
+    check_supported({})  # defaults fine
+    check_supported({"model": {"network_type": "official"},
+                     "training": {"match_method": "dense",
+                                  "validate_every": -1}})
+    with _pytest.raises(ValueError, match="network_type"):
+        check_supported({"model": {"network_type": "nerf"}})
+    with _pytest.raises(ValueError, match="match_method"):
+        check_supported({"training": {"match_method": "sparse"}})
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        check_supported({"training": {"validate_every": 100}})
+    assert any("validate_every" in str(x.message) for x in w)
+
+
 def test_rays_per_step_multiplier_convergence():
     """tpu.rays_per_step_multiplier = 2: the step consumes two frames' ray
     batches (VERDICT r1 item 10); training still converges and the loss

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from nope_nerf_tpu.config import DEFAULT_CONFIG, load_config
+from nope_nerf_tpu.config import DEFAULT_CONFIG, check_supported, load_config
 from nope_nerf_tpu.dataloading.scene import get_scene
 from nope_nerf_tpu.geometry.rays import camera_mat_from_fxfy
 from nope_nerf_tpu.geometry.trajectory import (
@@ -136,4 +136,5 @@ if __name__ == "__main__":
     parser.add_argument("config", type=str, help="Path to config file.")
     args = parser.parse_args()
     cfg = load_config(args.config, DEFAULT_CONFIG)
+    check_supported(cfg)
     main(cfg)
