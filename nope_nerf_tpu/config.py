@@ -85,3 +85,20 @@ def check_supported(cfg) -> None:
             "eval_pose_every instead",
             stacklevel=2,
         )
+    tpu = cfg.get("tpu", {}) or {}
+    mp = tpu.get("matmul_precision", "default")
+    if mp not in ("default", "high", "highest"):
+        raise ValueError(
+            f"tpu.matmul_precision={mp!r}: must be 'default', 'high' or "
+            "'highest' (lowercase)"
+        )
+    if mp != "default" and (
+        tpu.get("mlp_bf16", True) is not False
+        or tpu.get("use_pallas_mlp", True) is not False
+    ):
+        warnings.warn(
+            "tpu.matmul_precision only affects the f32 XLA MLP path; set "
+            "tpu.mlp_bf16: False and tpu.use_pallas_mlp: False for it to "
+            "take effect on TPU",
+            stacklevel=2,
+        )

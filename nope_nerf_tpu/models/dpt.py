@@ -367,6 +367,18 @@ def apply_dpt(params, img, scale=0.000305, shift=0.1378, invert=True,
 
     Mirrors `DPT/dpt/models.py:139-160, 203-212` end to end.
     """
+    # Full f32 matmul precision for the WHOLE forward — not just the convs:
+    # the 12 ViT blocks' qkv/attention/proj/mlp matmuls dominate the network
+    # and would otherwise truncate activations to bf16 on TPU
+    # (preferred_element_type only fixes accumulators, not inputs). The
+    # reference computes these in f32 torch; the priors supervise all of
+    # training, and this runs once, offline.
+    with jax.default_matmul_precision("highest"):
+        return _apply_dpt_f32(params, img, scale, shift, invert,
+                              non_negative)
+
+
+def _apply_dpt_f32(params, img, scale, shift, invert, non_negative):
     H, W = img.shape[:2]
     gh, gw = H // 16, W // 16
 

@@ -82,8 +82,10 @@ def lpips_distance(params, img0, img1):
         n0 = t0 / jnp.sqrt(jnp.sum(t0**2, -1, keepdims=True) + 1e-10)
         n1 = t1 / jnp.sqrt(jnp.sum(t1**2, -1, keepdims=True) + 1e-10)
         diff = (n0 - n1) ** 2
-        # learned 1x1 conv head (C, 1) with non-negative weights
-        val = diff @ jnp.maximum(lin["w"], 0.0)
+        # learned 1x1 conv head (C, 1) with non-negative weights; f32
+        # matmul like the convs (default TPU bf16 would re-enter here)
+        val = jnp.matmul(diff, jnp.maximum(lin["w"], 0.0),
+                         precision=lax.Precision.HIGHEST)
         total = total + jnp.mean(val)
     return total
 

@@ -25,9 +25,16 @@ RAY_AXIS = "rays"
 
 
 def make_ray_mesh(n_devices: int | None = None,
-                  axis_name: str = RAY_AXIS) -> Mesh:
+                  axis_name: str = RAY_AXIS,
+                  allow_virtual_cpu: bool = True) -> Mesh:
     """1-D mesh over the first ``n_devices`` devices (axis name from
-    ``tpu.mesh_axis``, default 'rays')."""
+    ``tpu.mesh_axis``, default 'rays').
+
+    ``allow_virtual_cpu=False`` (production training) errors instead of
+    silently substituting the virtual-CPU devices that test tooling creates
+    via ``xla_force_host_platform_device_count`` — a leaked test flag must
+    not make a real run execute ~100x slower on host CPUs.
+    """
     try:
         devs = jax.devices()
     except Exception:
@@ -37,18 +44,19 @@ def make_ray_mesh(n_devices: int | None = None,
         if len(devs) < n_devices:
             # fall back to the virtual CPU devices
             # (xla_force_host_platform_device_count) when the default
-            # backend is a single real chip
+            # backend is a single real chip — test/dryrun tooling only
             try:
                 cpu_devs = jax.devices("cpu")
             except RuntimeError:
                 cpu_devs = []
-            if len(cpu_devs) >= n_devices:
+            if allow_virtual_cpu and len(cpu_devs) >= n_devices:
                 devs = cpu_devs
             else:
                 raise ValueError(
                     f"need {n_devices} devices, have {len(devs)} "
-                    "(set XLA_FLAGS=--xla_force_host_platform_device_count=N "
-                    "for CPU testing)"
+                    f"({devs[0].platform}); for CPU-mesh testing set "
+                    "XLA_FLAGS=--xla_force_host_platform_device_count=N "
+                    "and allow_virtual_cpu=True"
                 )
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (axis_name,))

@@ -222,7 +222,11 @@ def train(cfg, max_epochs=None, scene=None):
         from ..parallel.mesh import make_ray_mesh, replicated
 
         mesh = make_ray_mesh(
-            n_dev, cfg.get("tpu", {}).get("mesh_axis", "rays") or "rays"
+            n_dev, cfg.get("tpu", {}).get("mesh_axis", "rays") or "rays",
+            # production: never silently substitute virtual CPU devices
+            # for missing chips (tests build their mesh on a CPU backend
+            # where jax.devices() itself returns the 8 virtual devices)
+            allow_virtual_cpu=False,
         )
         state = jax.device_put(state, replicated(mesh))
         scene_arrs = jax.device_put(scene_arrs, replicated(mesh))
@@ -266,10 +270,13 @@ def train(cfg, max_epochs=None, scene=None):
             from .trainer import compute_loss
 
             def pair_aux(params, batch, scalars, rng):
+                # mesh threaded through: the batch/params are committed to
+                # the mesh's devices during sharded training, and the
+                # kernel-vs-XLA chamfer choice keys on the mesh platform
                 return compute_loss(
                     params, batch, scalars, rng, cfg=cfg,
                     static=dict(static_pair), init_c2w=init_c2w,
-                    render_cfg=render_cfg,
+                    render_cfg=render_cfg, mesh=mesh,
                 )[1]
 
             pair_fn_cache["pair"] = jax.jit(pair_aux)
@@ -452,7 +459,7 @@ def train(cfg, max_epochs=None, scene=None):
                 render_visdata(
                     state, cfg, render_cfg, init_c2w, scene,
                     cfg["training"]["vis_resolution"], it,
-                    os.path.join(render_path, "%04d_vis" % it),
+                    os.path.join(render_path, "%04d_vis" % it), mesh=mesh,
                 )
             continue
         else:
@@ -516,6 +523,7 @@ def train(cfg, max_epochs=None, scene=None):
                         state, cfg, render_cfg, init_c2w, scene,
                         cfg["training"]["vis_resolution"], it,
                         os.path.join(render_path, "%04d_vis" % it),
+                        mesh=mesh,
                     )
 
         # (non-scan path only — the scan path defers this to

@@ -16,7 +16,7 @@ from ..ops.rendering import render_image
 
 
 def render_visdata(state, cfg, render_cfg, init_c2w, scene, resolution, it,
-                   out_render_path, img_idx=0):
+                   out_render_path, img_idx=0, mesh=None):
     """Write ``%04d_img.png`` / ``%04d_depth.png`` (+ ``%04d_geo.png`` with
     vis_geo) for the monitor frame."""
     import imageio
@@ -24,6 +24,10 @@ def render_visdata(state, cfg, render_cfg, init_c2w, scene, resolution, it,
     os.makedirs(out_render_path, exist_ok=True)
     h, w = resolution
     params = state.params
+    if mesh is not None:
+        # params live on the mesh's devices; no program built here may
+        # contain the unpartitionable fused-MLP custom call
+        render_cfg = dict(render_cfg, use_pallas_mlp=False)
     if cfg["pose"]["learn_pose"]:
         c2w = pose_c2w(params["pose"], img_idx, init_c2w)
         world_mat = jnp.linalg.inv(c2w)
@@ -37,8 +41,17 @@ def render_visdata(state, cfg, render_cfg, init_c2w, scene, resolution, it,
         camera_mat = jnp.asarray(scene.K)
     scale_mat = jnp.asarray(scene.scale_mat)
 
+    # mesh must be threaded through: params are committed to the mesh's
+    # devices during sharded training, and render_image's mesh branch both
+    # shards the chunk rays and disables the unpartitionable Pallas-MLP
+    # custom call (a mesh=None jit here would embed it in a multi-device
+    # GSPMD program)
+    chunk = min(h * w, 16384)
+    if mesh is not None:
+        n_dev = len(mesh.devices.ravel())
+        chunk = max(chunk // n_dev * n_dev, n_dev)
     rgb, depth = render_image(params["nerf"], (h, w), camera_mat, world_mat,
-                              scale_mat, render_cfg, chunk=min(h * w, 16384))
+                              scale_mat, render_cfg, chunk=chunk, mesh=mesh)
     rgb = np.clip(np.asarray(rgb), 0, 1)
     depth = np.asarray(depth)
     imageio.imwrite(

@@ -167,7 +167,13 @@ class TestMeshTrainLoop:
         cfg["training"].update({
             "scheduling_start": 0, "annealing_epochs": 0,
             "auto_scheduler": False, "eval_pose_every": 0,
-            "visualize_every": 0, "checkpoint_every": 0,
+            # exercise the auxiliary render paths UNDER the mesh — they
+            # must thread the mesh through (render_visdata/render_image and
+            # the reprojection pair dump jit separate programs from the
+            # train step and would otherwise build mesh-less jits over
+            # mesh-committed params)
+            "visualize_every": 8, "vis_reprojection_every": 8,
+            "vis_resolution": [16, 20], "checkpoint_every": 0,
         })
         cfg.setdefault("tpu", {})["n_devices"] = 8
         train(cfg, max_epochs=3, scene=scene)
