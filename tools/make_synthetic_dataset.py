@@ -26,6 +26,10 @@ def main():
     ap.add_argument("--height", type=int, default=60)
     ap.add_argument("--width", type=int, default=80)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--gt-depth", action="store_true",
+                    help="also write depth/<frame>.png 16-bit mm gt depths "
+                         "(the reference's with_depth/eval_depth layout, "
+                         "`dataloading/common.py:241-263`)")
     args = ap.parse_args()
 
     from nope_nerf_tpu.utils.synthetic import SyntheticScene
@@ -52,6 +56,15 @@ def main():
         ).save(os.path.join(img_dir, name + ".png"))
         np.savez(os.path.join(dpt_dir, f"depth_{name}.npz"),
                  pred=scene.dpt_depth[i].astype(np.float32))
+        if args.gt_depth:
+            gt_dir = os.path.join(scene_dir, "depth")
+            os.makedirs(gt_dir, exist_ok=True)
+            # the teacher's rendered depth IS the ground truth here;
+            # 16-bit png in millimetres per the reference's loader
+            mm = np.clip(scene.dpt_depth[i] * 1000.0, 0, 65535)
+            Image.fromarray(mm.astype(np.uint16)).save(
+                os.path.join(gt_dir, name + ".png")
+            )
 
         # invert the loader's column permutation
         # (`dataloading/dataset.py:57`): loader does
