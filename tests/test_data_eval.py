@@ -70,6 +70,30 @@ class TestLLFFPipeline:
         assert os.path.isdir(os.path.join(disk_scene, "images_2"))
         assert scene.imgs.shape[1:] == (12, 16, 3)
 
+    def test_gt_depth_roundtrip(self, tmp_path):
+        """--gt-depth writes 16-bit-mm depth pngs that SceneData
+        (with_depth=True) loads back within quantisation error."""
+        import sys
+
+        from nope_nerf_tpu.dataloading.scene import SceneData
+
+        out = str(tmp_path / "gd")
+        sys.argv = ["x", out, "--frames", "4", "--height", "24",
+                    "--width", "32", "--gt-depth"]
+        from tools.make_synthetic_dataset import main as gen
+
+        gen()
+        scene = SceneData(
+            path=str(tmp_path), scene_name=["gd"], mode="train",
+            spherify=False, resize_factor=None, sample_rate=8,
+            with_depth=True,
+        )
+        assert scene.depth is not None and len(scene.depth) == scene.N_imgs
+        # the generator builds its teacher with num_points=32
+        src = SyntheticScene(n_frames=4, hw=(24, 32), num_points=32)
+        np.testing.assert_allclose(scene.depth[0], src.dpt_depth[0],
+                                   atol=1e-3)  # mm quantisation
+
     def test_crop_size(self, disk_scene):
         """crop_size pipeline (`dataloading/common.py:67-85`): borders of
         crop_size rows (and the aspect-matched columns) are cut, the image
