@@ -205,20 +205,33 @@ def _apply_nerf_fused(params, pts, dirs, cfg_model, L_pos, L_dir):
     pre-scaled (M, 63)/(M, 27) inputs and the raw (M, 4) head outputs touch
     HBM. Numerics match the ``mlp_bf16`` XLA path (bf16 operands, f32
     accumulation, f32 sin/cos arguments)."""
-    from ..ops.pallas.mlp_kernel import BM, collect_weights, fused_mlp
+    from ..ops.pallas.mlp_kernel import (
+        BM,
+        collect_weights,
+        fused_mlp,
+        fused_mlp_sharded,
+    )
 
+    mesh = cfg_model.get("pallas_mesh")
     M = pts.shape[0]
-    pad = (-M) % BM
+    quantum = BM * (mesh.devices.size if mesh is not None else 1)
+    pad = (-M) % quantum
     if pad:
         pts = jnp.pad(pts, ((0, pad), (0, 0)))
         dirs = jnp.pad(dirs, ((0, pad), (0, 0)))
     # head activations (softplus/relu, occupancy alpha, rgb sigmoid) run in
     # the kernel epilogue — XLA would schedule them on (M, 1)/(M, 3) HBM
     # arrays where 125+/128 VPU lanes idle (~0.6 ms/step fwd+bwd)
-    rgb, density = fused_mlp(
-        collect_weights(params), pts, dirs, L_pos, L_dir,
-        cfg_model["occ_activation"], not cfg_model["dist_alpha"],
-    )
+    if mesh is not None:
+        rgb, density = fused_mlp_sharded(
+            collect_weights(params), pts, dirs, L_pos, L_dir,
+            cfg_model["occ_activation"], not cfg_model["dist_alpha"], mesh,
+        )
+    else:
+        rgb, density = fused_mlp(
+            collect_weights(params), pts, dirs, L_pos, L_dir,
+            cfg_model["occ_activation"], not cfg_model["dist_alpha"],
+        )
     if pad:
         rgb = rgb[:M]
         density = density[:M]

@@ -449,3 +449,35 @@ def _fused_mlp_bwd(l_pos, l_dir, act, occ_alpha, res, g):
 
 
 fused_mlp.defvjp(_fused_mlp_fwd, _fused_mlp_bwd)
+
+
+def fused_mlp_sharded(weights, pts, dirs, l_pos, l_dir, act, occ_alpha,
+                      mesh):
+    """:func:`fused_mlp` under a ray mesh: GSPMD cannot partition the
+    custom call, so the kernel runs per-shard under ``jax.shard_map`` —
+    points/dirs sharded on the leading axis, weights replicated. Autodiff
+    composes: ``shard_map``'s transpose psums the replicated weights'
+    cotangents over the mesh (each device contributes its shard's dW) and
+    keeps the per-point cotangents sharded.
+
+    M must be a multiple of n_devices * BM (callers pad).
+    """
+    from functools import partial
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(tuple(P() for _ in weights), P(axis), P(axis)),
+        out_specs=(P(axis), P(axis)),
+        # pallas_call's out_shape carries no varying-mesh-axes info (same
+        # situation as the sharded chamfer kernel)
+        check_vma=False,
+    )
+    def f(ws, p, d):
+        return fused_mlp(ws, p, d, l_pos, l_dir, act, occ_alpha)
+
+    return f(tuple(weights), pts, dirs)

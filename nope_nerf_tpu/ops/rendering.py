@@ -315,6 +315,10 @@ def render_image(nerf_params, resolution, camera_mat, world_mat, scale_mat,
     Returns (rgb (h, w, 3), depth (h, w)).
     """
     chunk = min(chunk, resolution[0] * resolution[1])
+    if cfg.get("pallas_mesh") is not None:
+        # train-step-only plumbing (a Mesh is unhashable for the jit cache);
+        # eval rendering shards via its own mesh argument below
+        cfg = dict(cfg, pallas_mesh=None)
     mesh_key = None
     if mesh is not None:
         # semantic key (axes + device ids), NOT id(mesh): a dead mesh's id

@@ -580,8 +580,16 @@ def _compute_platform(mesh):
 
 
 def _mesh_safe_render_cfg(render_cfg, mesh):
+    """Under a mesh, route the fused-MLP custom call through its shard_map
+    wrapper (GSPMD cannot partition it directly) — and key the kernel
+    choice on the MESH devices' platform, not the session default backend
+    (a CPU-mesh dryrun runs inside a TPU-default session)."""
     if mesh is None:
         return render_cfg
     rc = dict(render_cfg)
-    rc["use_pallas_mlp"] = False
+    rc["use_pallas_mlp"] = (
+        rc.get("use_pallas_mlp", False)
+        and _compute_platform(mesh) == "tpu"
+    )
+    rc["pallas_mesh"] = mesh if rc["use_pallas_mlp"] else None
     return rc

@@ -210,6 +210,51 @@ class TestMeshTrainLoop:
         )
 
 
+class TestShardedFusedMLP:
+    def test_sharded_matches_single(self):
+        """fused_mlp_sharded (shard_map, interpret kernels) reproduces the
+        single-device fused_mlp forward AND gradients — weight cotangents
+        psum over the mesh, point cotangents stay sharded."""
+        import nope_nerf_tpu.ops.pallas.mlp_kernel as mk
+        from nope_nerf_tpu.models.nerf import init_nerf_params
+
+        cfg = {
+            "model": {"hidden_dim": 256, "pos_enc_levels": 10,
+                      "dir_enc_levels": 4, "occ_activation": "softplus"},
+            "rendering": {"white_background": False},
+        }
+        params = init_nerf_params(jax.random.PRNGKey(3), cfg)
+        W = mk.collect_weights(params)
+        rng = np.random.default_rng(5)
+        M = 8 * mk.BM  # one tile per device
+        pts = jnp.asarray(rng.normal(size=(M, 3)), jnp.float32)
+        dirs = jnp.asarray(rng.normal(size=(M, 3)), jnp.float32)
+        mesh = make_ray_mesh(8)
+
+        def loss(W, p, d, sharded):
+            f = (lambda *a: mk.fused_mlp_sharded(*a, mesh)) if sharded \
+                else mk.fused_mlp
+            rgb, den = f(W, p, d, 10, 4, "softplus", True)
+            return jnp.mean(rgb**2) + jnp.mean(den * jnp.cos(den))
+
+        mk.INTERPRET = True
+        try:
+            ref = jax.grad(loss, argnums=(0, 1, 2))(W, pts, dirs, False)
+            got = jax.grad(loss, argnums=(0, 1, 2))(W, pts, dirs, True)
+            out_ref = mk.fused_mlp(W, pts, dirs, 10, 4, "softplus", True)
+            out_got = mk.fused_mlp_sharded(W, pts, dirs, 10, 4, "softplus",
+                                           True, mesh)
+        finally:
+            mk.INTERPRET = False
+        for a, b in zip(out_got, out_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6)
+        for a, b in zip(jax.tree.leaves(got), jax.tree.leaves(ref)):
+            scale = max(np.abs(np.asarray(b)).max(), 1e-6)
+            np.testing.assert_allclose(np.asarray(a) / scale,
+                                       np.asarray(b) / scale, atol=1e-5)
+
+
 class TestShardedChamfer:
     def test_sharded_pallas_matches_xla(self):
         """chamfer_loss_pallas_sharded (shard_map, interpret kernels) ==
