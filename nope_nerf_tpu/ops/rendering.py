@@ -333,7 +333,9 @@ def render_image(nerf_params, resolution, camera_mat, world_mat, scale_mat,
         if chunk % len(mesh.devices.ravel()) != 0:
             raise ValueError("chunk must divide evenly over mesh devices")
         if cfg.get("use_pallas_mlp", False):
-            # GSPMD cannot partition the fused-MLP custom call
+            # eval's chunked lax.map structure doesn't route through the
+            # train step's shard_map wrapper; the sharded XLA field (same
+            # numerics) renders instead
             cfg = dict(cfg, use_pallas_mlp=False)
     fn = _render_image_jit(tuple(resolution), chunk, _freeze(cfg), precision,
                            mesh_key)

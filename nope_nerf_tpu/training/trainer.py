@@ -556,8 +556,8 @@ def make_render_cfg(cfg):
             ),
             # fully-fused Pallas MLP (fwd+bwd kernels, activations never
             # leave VMEM). Same bf16/f32-accum numerics as mlp_bf16.
-            # Disabled under a mesh (GSPMD cannot partition the custom call
-            # — see make_train_step/make_epoch_step).
+            # Under a mesh it runs per-shard via shard_map
+            # (_mesh_safe_render_cfg -> mlp_kernel.fused_mlp_sharded).
             "use_pallas_mlp": tpu_cfg.get(
                 "use_pallas_mlp", jax.default_backend() == "tpu"
             ),
