@@ -74,11 +74,21 @@ class TestFusedMLP:
         }
         return params, pts, dirs, cfg_model
 
-    def test_forward_matches_xla(self, rng):
+    @pytest.mark.parametrize("act,dist_alpha", [
+        ("softplus", False),   # occupancy alpha in-kernel
+        ("softplus", True),    # raw softplus density
+        ("relu", False),
+        ("relu", True),
+    ])
+    def test_forward_matches_xla(self, rng, act, dist_alpha):
+        """All four activation-epilogue branches (softplus/relu x
+        occupancy-alpha on/off) reproduce the XLA field."""
         import nope_nerf_tpu.ops.pallas.mlp_kernel as mk
         from nope_nerf_tpu.models.nerf import apply_nerf
 
         params, pts, dirs, cfg_model = self._setup(rng)
+        cfg_model = dict(cfg_model, occ_activation=act,
+                         dist_alpha=dist_alpha)
         rgb_ref, den_ref = apply_nerf(params, pts, dirs, cfg_model)
         mk.INTERPRET = True
         try:
@@ -87,9 +97,40 @@ class TestFusedMLP:
         finally:
             mk.INTERPRET = False
         # bf16 operands: rgb is post-sigmoid (well-conditioned), density
-        # post-softplus
+        # post-activation
         np.testing.assert_allclose(rgb, rgb_ref, atol=0.03)
-        np.testing.assert_allclose(den, den_ref, rtol=0.08, atol=0.03)
+        np.testing.assert_allclose(den, den_ref, rtol=0.08, atol=0.05)
+
+    def test_relu_grads_match_xla(self, rng):
+        """The relu density-activation backward branch (incl. the
+        occupancy-alpha chain) against the f32 XLA gradients."""
+        import nope_nerf_tpu.ops.pallas.mlp_kernel as mk
+        from nope_nerf_tpu.models.nerf import apply_nerf
+
+        params, pts, dirs, cfg_model = self._setup(rng, M=1024)
+        cfg_model = dict(cfg_model, occ_activation="relu", dist_alpha=False)
+
+        def loss(p, mode):
+            cm = dict(cfg_model)
+            if mode == "fused":
+                cm["use_pallas_mlp"] = True
+            elif mode == "bf16":
+                cm["mlp_bf16"] = True
+            rgb, den = apply_nerf(p, pts, dirs, cm)
+            return jnp.mean(rgb**2) + jnp.mean(den * jnp.cos(den))
+
+        g_ref = jax.grad(loss)(params, "bf16")
+        mk.INTERPRET = True
+        try:
+            g_fused = jax.grad(loss)(params, "fused")
+        finally:
+            mk.INTERPRET = False
+        for name in g_ref:
+            for k in ("w", "b"):
+                a = np.asarray(g_fused[name][k])
+                b = np.asarray(g_ref[name][k])
+                err = np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-12)
+                assert err < 0.02, f"{name}/{k}: relL2={err:.4f}"
 
     def test_grads_match_xla(self, rng):
         import nope_nerf_tpu.ops.pallas.mlp_kernel as mk
