@@ -137,6 +137,11 @@ def main():
                 "value": round(rays_per_sec, 1),
                 "unit": "rays/s",
                 "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 3),
+                # the torch reference publishes no throughput number and is
+                # not runnable here (no GPU / no dataset): the denominator is
+                # the ~10 it/s x 1024 rays ESTIMATE from BASELINE.md, not a
+                # measurement
+                "baseline": "estimated",
             }
         )
     )

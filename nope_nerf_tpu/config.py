@@ -92,13 +92,37 @@ def check_supported(cfg) -> None:
             f"tpu.matmul_precision={mp!r}: must be 'default', 'high' or "
             "'highest' (lowercase)"
         )
-    if mp != "default" and (
-        tpu.get("mlp_bf16", True) is not False
-        or tpu.get("use_pallas_mlp", True) is not False
-    ):
-        warnings.warn(
-            "tpu.matmul_precision only affects the f32 XLA MLP path; set "
-            "tpu.mlp_bf16: False and tpu.use_pallas_mlp: False for it to "
-            "take effect on TPU",
-            stacklevel=2,
+    if mp != "default":
+        # mirror make_render_cfg's backend-dependent defaults
+        # (trainer.py:554-562): on CPU/GPU both default False, so
+        # matmul_precision *does* take effect and no warning is due
+        import jax
+
+        on_tpu = jax.default_backend() == "tpu"
+        if (tpu.get("mlp_bf16", on_tpu) is not False
+                or tpu.get("use_pallas_mlp", on_tpu) is not False):
+            warnings.warn(
+                "tpu.matmul_precision only affects the f32 XLA MLP path; "
+                "set tpu.mlp_bf16: False and tpu.use_pallas_mlp: False for "
+                "it to take effect on TPU",
+                stacklevel=2,
+            )
+    cm = tpu.get("chamfer_mode", "exact")
+    if cm not in ("exact", "grid"):
+        raise ValueError(
+            f"tpu.chamfer_mode={cm!r}: must be 'exact' (reference argmin "
+            "semantics) or 'grid' (approximate Morton-window NN)"
+        )
+    # The reference CRASHES on depth_consistency_weight != 0: its
+    # `model/losses.py:185-186` calls get_depth_consistency_loss(None, None)
+    # because training.py never computes d1_proj. Per the check_supported
+    # policy above, reference-crashing configs must error loudly here rather
+    # than silently contribute a zero loss term.
+    dcw = tr.get("depth_consistency_weight", 0.0) or 0.0
+    dcw = dcw if isinstance(dcw, (list, tuple)) else [dcw]  # scheduled pair
+    if any(float(v) != 0.0 for v in dcw):
+        raise ValueError(
+            "training.depth_consistency_weight != 0 is unsupported: the "
+            "reference crashes on this path (model/losses.py:185-186 is "
+            "called with d1_proj=None); set it to 0"
         )

@@ -151,6 +151,8 @@ def total_loss(
     depth_loss_type="l1",
     chamfer_block=2048,
     use_pallas_chamfer=False,
+    chamfer_mode="exact",
+    chamfer_window=512,
     mesh=None,
 ):
     """Weighted sum of all terms (`model/losses.py:158-218`).
@@ -182,7 +184,15 @@ def total_loss(
     else:
         loss_dist_1st = loss_dist_2nd = zero
     if X is not None:
-        if use_pallas_chamfer and mesh is not None:
+        if chamfer_mode == "grid":
+            # opt-in approximate NN (tpu.chamfer_mode: grid): Morton-window
+            # candidate search, O(S·window) instead of O(S·D). Divergence
+            # from the reference's exact argmin is documented in PARITY.md;
+            # convergence parity is gated in tests/test_round3.py.
+            from ..ops.chamfer import chamfer_loss_window
+
+            pc = chamfer_loss_window(X, Y, window=chamfer_window)
+        elif use_pallas_chamfer and mesh is not None:
             # per-shard kernel under shard_map (GSPMD can't split the
             # custom call) — see chamfer_kernel.chamfer_loss_pallas_sharded
             from ..ops.pallas.chamfer_kernel import (

@@ -411,8 +411,12 @@ def _apply_dpt_f32(params, img, scale, shift, invert, non_negative):
     l4 = _readout(hook4, params["readout4"]).reshape(gh, gw, VIT_DIM)
     l3 = _conv(l3, params["post3_conv"]["w"], params["post3_conv"]["b"])
     l4 = _conv(l4, params["post4_conv1"]["w"], params["post4_conv1"]["b"])
+    # plain nn.Conv2d(3x3, stride=2, padding=1) (`DPT/dpt/vit.py:469-476`):
+    # SYMMETRIC padding. TF-"SAME" at stride 2 on an even input pads (0, 1)
+    # and shifts every window by one pixel — only the timm StdConv2dSame
+    # convs in the ResNet stem/stages use SAME semantics.
     l4 = _conv(l4, params["post4_conv2"]["w"], params["post4_conv2"]["b"],
-               stride=2)
+               stride=2, padding=((1, 1), (1, 1)))
 
     sc = params["scratch"]
     r1 = _conv(tap1, sc["layer1_rn"]["w"])

@@ -86,6 +86,131 @@ def nearest_idx(X, Y, block: int = 2048, x_valid=None, y_valid=None):
     return idx_x, idx_y
 
 
+def _morton_code(P, lo, inv_extent, probe=0):
+    """30-bit Morton (Z-order) code per point: quantise each axis to 10 bits
+    and interleave. Integer bit-spread runs on the VPU; no gathers.
+
+    ``probe`` selects a different space-filling curve (origin shift + axis
+    interleave permutation): Z-order misses neighbours that straddle a cell
+    boundary, and a second probe with shifted boundaries / different axis
+    priority recovers most of them (min-distance combine in the caller).
+    """
+    # 768 bins with 0.3-extent headroom so the probe-1 origin shift stays
+    # inside the 10-bit range
+    q = jnp.clip((((P - lo) * inv_extent + 0.3 * probe) * 768.0)
+                 .astype(jnp.int32), 0, 1023)
+
+    def spread(v):
+        # classic 10-bit spread: b9..b0 -> bits 27,24,...,0
+        v = (v | (v << 16)) & 0x030000FF
+        v = (v | (v << 8)) & 0x0300F00F
+        v = (v | (v << 4)) & 0x030C30C3
+        v = (v | (v << 2)) & 0x09249249
+        return v
+
+    a, b, c = (0, 1, 2) if probe == 0 else (1, 2, 0)
+    return (
+        (spread(q[:, c]) << 2) | (spread(q[:, b]) << 1) | spread(q[:, a])
+    )
+
+
+def _window_direction(Xs, Ys, pos_sorted, window, block):
+    """Nearest index into ``Ys`` for every row of ``Xs`` (both Morton-sorted),
+    searching only a ``window`` of Morton-consecutive Ys shared per ``block``
+    of consecutive Xs.
+
+    Consecutive sorted Xs have nearly identical candidate windows, so each
+    block reads ONE contiguous (window, 3) slab and the (block, window)
+    score tile is a single MXU matmul — no per-point gathers.
+    """
+    S, D = Xs.shape[0], Ys.shape[0]
+    nb = S // block
+    # window start per block: centre on the block's median insertion rank
+    mid = pos_sorted.reshape(nb, block)[:, block // 2]
+    start = jnp.clip(mid - window // 2, 0, max(D - window, 0))
+    widx = start[:, None] + jnp.arange(window)[None, :]          # (nb, W)
+    Yw = Ys[widx]                                                # (nb, W, 3)
+    yy = jnp.sum(Yw * Yw, axis=-1)                               # (nb, W)
+    Xb = Xs.reshape(nb, block, 3)
+    scores = yy[:, None, :] - 2.0 * lax.dot_general(
+        Xb, Yw, (((2,), (2,)), ((0,), (0,))),
+        precision=lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )                                                            # (nb, B, W)
+    a = jnp.argmin(scores, axis=-1).astype(jnp.int32)            # (nb, B)
+    return (start[:, None] + a).reshape(-1)                      # idx into Ys
+
+
+def nearest_idx_window(X, Y, window: int = 512, block: int = 128):
+    """APPROXIMATE nearest neighbours via Morton-order sorted windows
+    (``tpu.chamfer_mode: grid``).
+
+    Both clouds are sorted along a Z-order space-filling curve; each point
+    searches only the ``window`` Morton-consecutive candidates around its own
+    insertion rank, with the window shared per ``block`` of consecutive
+    queries so the candidate slab is one contiguous read and the score tile
+    one batched MXU matmul — O(S·window) work instead of the exact kernel's
+    O(S·D) VPU passes (`ops/pallas/chamfer_kernel.py`, 8.9 ms/step at Tanks
+    scale).  Z-order discontinuities can miss the true NN for a small
+    fraction of points (measured ~1–3% on depth-map surface clouds, with the
+    found neighbour still nearby), which perturbs the Chamfer mean by <1%%;
+    convergence parity vs exact mode is pinned by
+    tests/test_round3.py::test_chamfer_grid_convergence.
+
+    Same contract as :func:`nearest_idx` (without validity masks — the
+    production loss path passes full clouds): returns
+    (idx_x (S,) int32 into Y, idx_y (D,) int32 into X). Forward-only.
+    """
+    X = lax.stop_gradient(X)
+    Y = lax.stop_gradient(Y)
+    S, D = X.shape[0], Y.shape[0]
+    allp = jnp.concatenate([X, Y], axis=0)
+    lo = jnp.min(allp, axis=0)
+    inv_extent = 1.0 / jnp.maximum(jnp.max(allp, axis=0) - lo, 1e-12)
+
+    # pad the QUERY side to a block multiple (padded rows reuse the last
+    # row's rank; their results are dropped on unsort)
+    def pad_q(a, n):
+        p = (-a.shape[0]) % n
+        if p == 0:
+            return a
+        return jnp.concatenate([a, jnp.repeat(a[-1:], p, axis=0)], axis=0)
+
+    def one_probe(probe):
+        cx = _morton_code(X, lo, inv_extent, probe)
+        cy = _morton_code(Y, lo, inv_extent, probe)
+        perm_x = jnp.argsort(cx)
+        perm_y = jnp.argsort(cy)
+        Xs = X[perm_x]
+        Ys = Y[perm_y]
+        cxs = cx[perm_x]
+        cys = cy[perm_y]
+        pos_x = jnp.searchsorted(cys, cxs).astype(jnp.int32)
+        idx_xs = _window_direction(pad_q(Xs, block), Ys,
+                                   pad_q(pos_x, block),
+                                   min(window, D), block)[:S]
+        pos_y = jnp.searchsorted(cxs, cys).astype(jnp.int32)
+        idx_ys = _window_direction(pad_q(Ys, block), Xs,
+                                   pad_q(pos_y, block),
+                                   min(window, S), block)[:D]
+        # map back to original orderings: result row i must describe X[i]
+        idx_x = jnp.zeros((S,), jnp.int32).at[perm_x].set(perm_y[idx_xs])
+        idx_y = jnp.zeros((D,), jnp.int32).at[perm_y].set(perm_x[idx_ys])
+        return idx_x, idx_y
+
+    def d2(A, B, idx):
+        diff = A - B[idx]
+        return jnp.sum(diff * diff, axis=-1)
+
+    # two space-filling-curve probes, min-distance combine: recovers the
+    # neighbours probe 0 loses across Z-order cell boundaries
+    ix0, iy0 = one_probe(0)
+    ix1, iy1 = one_probe(1)
+    idx_x = jnp.where(d2(X, Y, ix0) <= d2(X, Y, ix1), ix0, ix1)
+    idx_y = jnp.where(d2(Y, X, iy0) <= d2(Y, X, iy1), iy0, iy1)
+    return idx_x, idx_y
+
+
 def chamfer_loss(X, Y, block: int = 2048, x_valid=None, y_valid=None):
     """Symmetric Chamfer: mean_x ||x - y_nn(x)|| + mean_y ||y - x_nn(y)||.
 
@@ -110,3 +235,15 @@ def chamfer_loss(X, Y, block: int = 2048, x_valid=None, y_valid=None):
     else:
         loss_y = jnp.sum(dy * y_valid) / jnp.maximum(jnp.sum(y_valid), 1.0)
     return loss_x + loss_y
+
+
+def chamfer_loss_window(X, Y, window: int = 512, block: int = 128):
+    """Symmetric Chamfer with the approximate Morton-window NN
+    (:func:`nearest_idx_window`); same differentiable gather-distance form
+    as :func:`chamfer_loss`."""
+    idx_x, idx_y = nearest_idx_window(X, Y, window=window, block=block)
+    dxv = X - Y[idx_x]
+    dyv = Y - X[idx_y]
+    dx = jnp.sqrt(jnp.maximum(jnp.sum(dxv * dxv, axis=-1), 1e-24))
+    dy = jnp.sqrt(jnp.maximum(jnp.sum(dyv * dyv, axis=-1), 1e-24))
+    return jnp.mean(dx) + jnp.mean(dy)

@@ -140,8 +140,23 @@ def nearest_idx_pallas(X, Y, x_valid=None, y_valid=None, interpret=False,
     """Pallas drop-in for ops.chamfer.nearest_idx (same contract; indices at
     invalid rows/columns are arbitrary — callers mask them).
 
+    PRECONDITION — coordinate magnitude: invalid/padded points are moved to
+    the +-1e5 sentinels (``_SENTINEL``), so a valid pairing only reliably
+    beats an invalid one when cloud extents are far below 1e5. That holds
+    for the scale_mat-normalised clouds in the loss path (extent ~1), but
+    un-normalised (raw metric / COLMAP-scale) clouds with coordinates
+    approaching 1e5 would silently mis-pair; a debug assert below guards
+    this outside jit.
+
     ``two_dir=False`` returns only idx_x (X -> Y) and skips the column
     reduction entirely."""
+    if not isinstance(X, jax.core.Tracer):  # debug-mode magnitude guard
+        m = max(float(jnp.max(jnp.abs(X))), float(jnp.max(jnp.abs(Y))))
+        assert m < _SENTINEL / 10.0, (
+            f"nearest_idx_pallas: max |coord| {m:.3g} too close to the "
+            f"padding sentinel {_SENTINEL:.0g}; normalise the clouds "
+            "(scale_mat) or use ops.chamfer.nearest_idx"
+        )
     X = lax.stop_gradient(X)
     Y = lax.stop_gradient(Y)
     S, D = X.shape[0], Y.shape[0]

@@ -34,9 +34,11 @@ masks compound through the chain). Same numerics as the XLA ``mlp_bf16``
 path, so switching kernels does not change the training trajectory beyond
 bf16 round-off.
 
-The kernels compute raw (pre-activation) density/rgb: softplus, occupancy
-alpha and the rgb sigmoid stay in XLA on the tiny (M, 1)/(M, 3) head
-outputs (models/nerf.py:apply_nerf).
+**Head activations run in the kernel epilogue** (``_act_fwd``): softplus or
+relu (optionally occupancy-alpha) on density and the rgb sigmoid are applied
+f32 in-kernel fused with the head matmuls, so ``fused_mlp`` returns
+post-activation rgb/density and the backward consumes cotangents of the
+activated heads (selected via the ``act``/``occ_alpha`` arguments).
 
 Reference semantics being accelerated: the 8-layer skip MLP + heads of
 `model/official_nerf.py:8-97`, evaluated at `model/rendering.py:108-117`.

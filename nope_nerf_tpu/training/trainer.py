@@ -381,6 +381,10 @@ def compute_loss(
             cfg.get("tpu", {}).get("use_pallas", True)
             and _compute_platform(mesh) == "tpu"
         ),
+        # 'exact' (reference semantics, default) | 'grid' (opt-in
+        # Morton-window approximate NN — PARITY.md "Approximate chamfer")
+        chamfer_mode=cfg.get("tpu", {}).get("chamfer_mode", "exact"),
+        chamfer_window=cfg.get("tpu", {}).get("chamfer_window", 512),
         mesh=mesh,
         with_auto_mask=tcfg.get("with_auto_mask", False),
         **loss_kwargs,

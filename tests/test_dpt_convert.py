@@ -194,6 +194,244 @@ def _torch_std_conv(x, w, stride=1):
     return F.conv2d(x, w, stride=stride)
 
 
+class TestFullComposition:
+    """Tiny-config FULL-model parity vs a hand-rolled torch transcription of
+    the reference composition (VERDICT r2 item 3): ViT dim 64 / 4 heads but
+    the REAL 12 blocks (so the hybrid hook taps [8, 11] are exercised at
+    their true indices — `DPT/dpt/vit.py:376-377`), 1-block ResNet stages,
+    forward_flex pos-embed resize to a non-square grid, ProjectReadout,
+    reassemble, the 4 fusion stages and the monodepth head with
+    scale/shift/invert (`DPT/dpt/models.py:143-160, 203-212`).
+
+    A transposed fusion stage, a wrong hook index, a shifted stride-2
+    padding or a mis-ordered readout would all pass the per-layer tests yet
+    fail here.
+    """
+
+    VD, HEADS = 64, 4
+    RC = (128, 128, 128)   # all norm widths >= 32 -> GroupNorm(32, C) valid
+    FEAT = 32
+    REASSEMBLE = (128, 128, 64, 64)
+
+    def _tiny_params(self, rng):
+        A = lambda *s: (rng.normal(size=s).astype(np.float32) * 0.05)  # noqa: E731
+        conv = lambda kh, kw, ci, co, bias=True: (  # noqa: E731
+            {"w": A(kh, kw, ci, co), **({"b": A(co)} if bias else {})})
+        norm = lambda c: {"scale": (1.0 + A(c)), "bias": A(c)}  # noqa: E731
+        lin = lambda ci, co: {"w": A(ci, co), "b": A(co)}  # noqa: E731
+
+        def bottleneck(ci, cmid, co):
+            return {
+                "conv1": conv(1, 1, ci, cmid, bias=False),
+                "norm1": norm(cmid),
+                "conv2": conv(3, 3, cmid, cmid, bias=False),
+                "norm2": norm(cmid),
+                "conv3": conv(1, 1, cmid, co, bias=False),
+                "norm3": norm(co),
+                "down_conv": conv(1, 1, ci, co, bias=False),
+                "down_norm": norm(co),
+            }
+
+        VD, RC, FEAT, RA = self.VD, self.RC, self.FEAT, self.REASSEMBLE
+        blocks = [
+            {
+                "ln1": norm(VD), "qkv": lin(VD, 3 * VD),
+                "proj": lin(VD, VD), "ln2": norm(VD),
+                "mlp1": lin(VD, 4 * VD), "mlp2": lin(4 * VD, VD),
+            }
+            for _ in range(12)
+        ]
+        return {
+            "resnet": {
+                "stem_conv": conv(7, 7, 3, 64, bias=False),
+                "stem_norm": norm(64),
+                "stages": [
+                    [bottleneck(64, RC[0] // 4, RC[0])],
+                    [bottleneck(RC[0], RC[1] // 4, RC[1])],
+                    [bottleneck(RC[1], RC[2] // 4, RC[2])],
+                ],
+            },
+            "patch_proj": conv(1, 1, RC[2], VD),
+            "cls_token": A(1, 1, VD),
+            "pos_embed": A(1, 1 + 24 * 24, VD),
+            "blocks": blocks,
+            "readout3": lin(2 * VD, VD),
+            "readout4": lin(2 * VD, VD),
+            "post3_conv": conv(1, 1, VD, RA[2]),
+            "post4_conv1": conv(1, 1, VD, RA[3]),
+            "post4_conv2": conv(3, 3, RA[3], RA[3]),
+            "scratch": {
+                f"layer{i+1}_rn": conv(3, 3, RA[i], FEAT, bias=False)
+                for i in range(4)
+            },
+            **{
+                f"refinenet{r}": {
+                    "rcu1": {"conv1": conv(3, 3, FEAT, FEAT),
+                             "conv2": conv(3, 3, FEAT, FEAT)},
+                    "rcu2": {"conv1": conv(3, 3, FEAT, FEAT),
+                             "conv2": conv(3, 3, FEAT, FEAT)},
+                    "out_conv": conv(1, 1, FEAT, FEAT),
+                }
+                for r in (1, 2, 3, 4)
+            },
+            "head": {
+                "conv1": conv(3, 3, FEAT, FEAT // 2),
+                "conv2": conv(3, 3, FEAT // 2, 32),
+                "conv3": conv(1, 1, 32, 1),
+            },
+        }
+
+    # -- torch transcription of the reference composition ------------------
+
+    @staticmethod
+    def _tc(p, x, stride=1, std=False, padding=1):
+        """JAX-layout conv params -> torch conv. ``std`` = StdConv2dSame
+        (timm, TF SAME padding); else plain nn.Conv2d semantics with
+        symmetric ``padding``."""
+        w = _t(np.asarray(p["w"]).transpose(3, 2, 0, 1))
+        b = _t(np.asarray(p["b"])) if "b" in p else None
+        if std:
+            mean = w.mean(dim=(1, 2, 3), keepdim=True)
+            var = w.var(dim=(1, 2, 3), unbiased=False, keepdim=True)
+            w = (w - mean) / torch.sqrt(var + 1e-6)
+            x = _same_pad(x, w.shape[2], w.shape[3], stride)
+            return F.conv2d(x, w, b, stride=stride)
+        return F.conv2d(x, w, b, stride=stride,
+                        padding=0 if w.shape[2] == 1 else padding)
+
+    def _torch_forward(self, P, img_hwc, scale, shift):
+        tc = self._tc
+
+        def gn(x, p):
+            return F.group_norm(x, 32, _t(np.asarray(p["scale"])),
+                                _t(np.asarray(p["bias"])), eps=1e-5)
+
+        def ln(x, p):
+            return F.layer_norm(x, (x.shape[-1],),
+                                _t(np.asarray(p["scale"])),
+                                _t(np.asarray(p["bias"])), eps=1e-6)
+
+        x = _t(img_hwc.transpose(2, 0, 1))[None]  # NCHW
+        R = P["resnet"]
+        h = F.relu(gn(tc(R["stem_conv"], x, stride=2, std=True),
+                      R["stem_norm"]))
+        h = F.max_pool2d(_same_pad(h.clone(), 3, 3, 2), 3, stride=2)
+        taps = []
+        for si, blocks in enumerate(R["stages"]):
+            stride = 1 if si == 0 else 2
+            for bi, bp in enumerate(blocks):
+                s = stride if bi == 0 else 1
+                sc = gn(tc(bp["down_conv"], h, stride=s, std=True),
+                        bp["down_norm"])
+                q = F.relu(gn(tc(bp["conv1"], h, std=True), bp["norm1"]))
+                q = F.relu(gn(tc(bp["conv2"], q, stride=s, std=True),
+                              bp["norm2"]))
+                q = gn(tc(bp["conv3"], q, std=True), bp["norm3"])
+                h = F.relu(q + sc)
+            taps.append(h)
+        tap1, tap2, feat = taps
+
+        # forward_flex (`DPT/dpt/vit.py:164-201`)
+        gh, gw = feat.shape[2], feat.shape[3]
+        tok = tc(P["patch_proj"], feat).flatten(2).transpose(1, 2)  # (1,T,D)
+        cls = _t(np.asarray(P["cls_token"]))
+        xt = torch.cat([cls, tok], dim=1)
+        pe = _t(np.asarray(P["pos_embed"]))
+        pe_tok, pe_grid = pe[:, :1], pe[0, 1:]
+        gs = int(np.sqrt(pe_grid.shape[0]))
+        pe_grid = pe_grid.reshape(1, gs, gs, -1).permute(0, 3, 1, 2)
+        pe_grid = F.interpolate(pe_grid, size=(gh, gw), mode="bilinear")
+        pe_grid = pe_grid.permute(0, 2, 3, 1).reshape(1, gh * gw, -1)
+        xt = xt + torch.cat([pe_tok, pe_grid], dim=1)
+
+        hooks = {}
+        D, H = self.VD, self.HEADS
+        for i, bp in enumerate(P["blocks"]):
+            q = ln(xt, bp["ln1"])
+            T = q.shape[1]
+            qkv = q @ _t(np.asarray(bp["qkv"]["w"])) + _t(
+                np.asarray(bp["qkv"]["b"]))
+            qkv = qkv.reshape(1, T, 3, H, D // H).permute(2, 0, 3, 1, 4)
+            qq, kk, vv = qkv[0], qkv[1], qkv[2]
+            attn = torch.softmax(
+                qq @ kk.transpose(-1, -2) * (D // H) ** -0.5, -1)
+            out = (attn @ vv).permute(0, 2, 1, 3).reshape(1, T, D)
+            xt = xt + out @ _t(np.asarray(bp["proj"]["w"])) + _t(
+                np.asarray(bp["proj"]["b"]))
+            q = ln(xt, bp["ln2"])
+            q = F.gelu(q @ _t(np.asarray(bp["mlp1"]["w"])) + _t(
+                np.asarray(bp["mlp1"]["b"])))
+            xt = xt + q @ _t(np.asarray(bp["mlp2"]["w"])) + _t(
+                np.asarray(bp["mlp2"]["b"]))
+            if i in (8, 11):
+                hooks[i] = xt  # block OUTPUT, pre-final-norm
+
+        def postprocess(tokens, rp):
+            # ProjectReadout -> Transpose -> Unflatten (`vit.py:104-145`)
+            t = tokens[0]
+            readout = t[:1].expand(t.shape[0] - 1, -1)
+            feats = torch.cat([t[1:], readout], dim=-1)
+            proj = F.gelu(feats @ _t(np.asarray(rp["w"])) + _t(
+                np.asarray(rp["b"])))
+            return proj.transpose(0, 1).reshape(1, D, gh, gw)
+
+        l3 = tc(P["post3_conv"], postprocess(hooks[8], P["readout3"]))
+        l4 = tc(P["post4_conv1"], postprocess(hooks[11], P["readout4"]))
+        # plain nn.Conv2d stride 2 padding 1 (`vit.py:469-476`) — symmetric,
+        # NOT TF-SAME
+        l4 = tc(P["post4_conv2"], l4, stride=2, padding=1)
+
+        S = P["scratch"]
+        r1 = tc(S["layer1_rn"], tap1)
+        r2 = tc(S["layer2_rn"], tap2)
+        r3 = tc(S["layer3_rn"], l3)
+        r4 = tc(S["layer4_rn"], l4)
+
+        def rcu(q, rp):
+            h = tc(rp["conv1"], F.relu(q))
+            h = tc(rp["conv2"], F.relu(h))
+            return h + q
+
+        def fusion(fp, x, res=None):
+            if res is not None:
+                x = x + rcu(res, fp["rcu1"])
+            x = rcu(x, fp["rcu2"])
+            x = F.interpolate(x, scale_factor=2, mode="bilinear",
+                              align_corners=True)
+            return tc(fp["out_conv"], x)
+
+        p4 = fusion(P["refinenet4"], r4)
+        p3 = fusion(P["refinenet3"], p4, r3)
+        p2 = fusion(P["refinenet2"], p3, r2)
+        p1 = fusion(P["refinenet1"], p2, r1)
+
+        h = tc(P["head"]["conv1"], p1)
+        h = F.interpolate(h, scale_factor=2, mode="bilinear",
+                          align_corners=True)
+        h = F.relu(tc(P["head"]["conv2"], h))
+        h = tc(P["head"]["conv3"], h)
+        inv = F.relu(h).squeeze(1).squeeze(0)
+        depth = scale * inv + shift
+        depth = torch.clamp(depth, min=1e-8)
+        return (1.0 / depth).numpy()
+
+    def test_full_model_parity(self, rng, monkeypatch):
+        monkeypatch.setattr(jdpt, "VIT_DIM", self.VD)
+        monkeypatch.setattr(jdpt, "VIT_HEADS", self.HEADS)
+        P = self._tiny_params(rng)
+        img = rng.uniform(-1, 1, size=(64, 96, 3)).astype(np.float32)
+        scale, shift = 0.5, 0.1
+
+        with torch.no_grad():
+            want = self._torch_forward(P, img, scale, shift)
+        got = np.asarray(
+            jdpt.apply_dpt(jax.tree.map(jnp.asarray, P), jnp.asarray(img),
+                           scale=scale, shift=shift)
+        )
+        assert got.shape == want.shape == (64, 96)
+        np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
 class TestLayerParity:
     def test_std_conv_group_norm_bottleneck(self, rng):
         """ResNetV2 bottleneck (timm, non-preact) torch vs JAX, stride 2 +

@@ -230,6 +230,25 @@ def test_check_supported_config():
         warnings.simplefilter("always")
         check_supported({"training": {"validate_every": 100}})
     assert any("validate_every" in str(x.message) for x in w)
+    # depth_consistency_weight != 0 crashes the reference
+    # (model/losses.py:185-186 with d1_proj=None) -> loud error, both the
+    # scheduled-pair and scalar config forms
+    with _pytest.raises(ValueError, match="depth_consistency_weight"):
+        check_supported(
+            {"training": {"depth_consistency_weight": [0.0, 0.1]}})
+    with _pytest.raises(ValueError, match="depth_consistency_weight"):
+        check_supported({"training": {"depth_consistency_weight": 0.1}})
+    check_supported({"training": {"depth_consistency_weight": [0.0, 0.0]}})
+    # matmul_precision warning is backend-aware: on a CPU backend the
+    # setting takes effect with default mlp flags -> no warning (ADVICE r2)
+    import jax as _jax
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        check_supported({"tpu": {"matmul_precision": "highest"}})
+    expect_warn = _jax.default_backend() == "tpu"
+    got_warn = any("matmul_precision" in str(x.message) for x in w)
+    assert got_warn == expect_warn
 
 
 def test_rays_per_step_multiplier_convergence():

@@ -1,0 +1,137 @@
+"""Round-3 features: approximate Morton-window chamfer (tpu.chamfer_mode)
+and its convergence parity vs the exact reference semantics."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def _clouds(rng, s=1500, d=1700):
+    """Two overlapping surface-ish clouds (smooth height field + noise),
+    scale_mat-normalised extents (~1) like the production loss path."""
+    def surf(n, shift):
+        xy = rng.uniform(-1, 1, size=(n, 2)).astype(np.float32)
+        z = (
+            0.3 * np.sin(2.0 * xy[:, 0] + shift)
+            + 0.2 * np.cos(3.0 * xy[:, 1])
+            + rng.normal(size=n) * 0.01
+        ).astype(np.float32)
+        return np.column_stack([xy, z])
+
+    return surf(s, 0.0), surf(d, 0.15)
+
+
+def test_window_nn_matches_exact_for_most_points(rng):
+    """The Morton-window NN finds the exact nearest neighbour for almost all
+    points of a surface cloud, and the missed ones still pair to a nearby
+    point (distance within 1.5x of optimal)."""
+    from nope_nerf_tpu.ops.chamfer import nearest_idx, nearest_idx_window
+
+    X, Y = _clouds(rng)
+    ex_x, ex_y = nearest_idx(jnp.asarray(X), jnp.asarray(Y))
+    ap_x, ap_y = nearest_idx_window(jnp.asarray(X), jnp.asarray(Y),
+                                    window=512)
+    for ex, ap, A, B in ((ex_x, ap_x, X, Y), (ex_y, ap_y, Y, X)):
+        ex, ap = np.asarray(ex), np.asarray(ap)
+        recall = float(np.mean(ex == ap))
+        assert recall > 0.9, f"window-NN recall {recall}"
+        d_ex = np.linalg.norm(A - B[ex], axis=-1)
+        d_ap = np.linalg.norm(A - B[ap], axis=-1)
+        assert (d_ap >= d_ex - 1e-6).all()  # exact is a lower bound
+        # the misses are still near-optimal
+        assert float(np.mean(d_ap)) <= 1.5 * max(float(np.mean(d_ex)), 1e-9)
+
+
+def test_window_chamfer_close_to_exact(rng):
+    from nope_nerf_tpu.ops.chamfer import chamfer_loss, chamfer_loss_window
+
+    X, Y = _clouds(rng)
+    exact = float(chamfer_loss(jnp.asarray(X), jnp.asarray(Y)))
+    approx = float(chamfer_loss_window(jnp.asarray(X), jnp.asarray(Y)))
+    assert approx >= exact - 1e-6
+    assert abs(approx - exact) <= 0.02 * exact, (exact, approx)
+
+
+def test_window_nn_identical_clouds(rng):
+    """X == Y: every point's nearest neighbour is itself (distance 0), so
+    any window that contains the query's own rank must find it."""
+    from nope_nerf_tpu.ops.chamfer import chamfer_loss_window
+
+    X, _ = _clouds(rng, s=900, d=900)
+    loss = float(chamfer_loss_window(jnp.asarray(X), jnp.asarray(X)))
+    # sqrt clamp floor is 1e-12 per point
+    assert loss < 1e-5, loss
+
+
+def _train_tiny(chamfer_mode, epochs=14):
+    from nope_nerf_tpu.training.loop import build_params, scene_batch_arrays
+    from nope_nerf_tpu.training.trainer import (
+        init_train_state,
+        make_epoch_step,
+        make_render_cfg,
+    )
+    from nope_nerf_tpu.utils.synthetic import SyntheticScene, tiny_config
+
+    scene = SyntheticScene(n_frames=4, hw=(16, 20), num_points=16)
+    cfg = tiny_config(scene, f"/tmp/ch_{chamfer_mode}", num_points=16,
+                      n_training_points=64)
+    cfg["_num_cams"] = scene.N_imgs
+    tpu = cfg.setdefault("tpu", {})
+    tpu["chamfer_mode"] = chamfer_mode
+    tpu["chamfer_window"] = 64
+
+    params, init_c2w = build_params(cfg, scene, jax.random.PRNGKey(0))
+    state, _ = init_train_state(params)
+    batch = scene_batch_arrays(scene, cfg)
+    batch["camera_mat_gt"] = jnp.asarray(scene.K)
+    batch["scale_mat"] = jnp.asarray(scene.scale_mat)
+    scalars = {
+        "weights": {
+            "rgb_weight": np.float32(1.0),
+            "depth_weight": np.float32(0.04),
+            "pc_weight": np.float32(1.0),
+            "rgb_s_weight": np.float32(1.0),
+            "depth_consistency_weight": np.float32(0.0),
+            "weight_dist_1st_loss": np.float32(0.0),
+            "weight_dist_2nd_loss": np.float32(0.0),
+        },
+        "w_l1": np.float32(1.0),
+        "w_l2": np.float32(0.0),
+        "lrs": {g: np.float32(1e-3) for g in
+                ("nerf", "pose", "focal", "distortion")},
+    }
+    static = {"render_model": True, "use_ref": True, "use_rgb_s": True}
+    epoch_fn = make_epoch_step(cfg, make_render_cfg(cfg), init_c2w)
+    n = scene.N_imgs
+    rng = np.random.default_rng(0)
+    losses, pcs = [], []
+    for e in range(epochs):
+        idxs = rng.permutation(n).astype(np.int32)
+        refs = ((idxs + 1) % n).astype(np.int32)
+        state, aux, _ = epoch_fn(
+            state, batch, jnp.asarray(idxs), jnp.asarray(refs), scalars,
+            jax.random.fold_in(jax.random.PRNGKey(7), e), static,
+        )
+        losses.append(float(aux["loss"]))
+        pcs.append(float(aux["loss_pc"]))
+    return losses, pcs
+
+
+def test_chamfer_grid_convergence():
+    """tpu.chamfer_mode: grid — the convergence gate for the opt-in
+    approximate NN (VERDICT r2 item 4): same tiny scene trains to the same
+    loss region as exact mode, and the pc-loss trajectories track each
+    other."""
+    losses_e, pcs_e = _train_tiny("exact")
+    losses_g, pcs_g = _train_tiny("grid")
+    assert np.isfinite(losses_g).all()
+    assert losses_g[-1] < 0.6 * losses_g[0], losses_g
+    # same loss region as exact at the end of training
+    assert abs(losses_g[-1] - losses_e[-1]) < 0.25 * losses_e[0], (
+        losses_e[-1], losses_g[-1])
+    # the pc term itself stays close throughout (approx >= is not guaranteed
+    # through training dynamics, closeness is)
+    pe, pg = np.asarray(pcs_e), np.asarray(pcs_g)
+    assert np.all(np.abs(pe - pg) <= 0.10 * np.maximum(pe, 1e-3) + 5e-4), (
+        pe, pg)
