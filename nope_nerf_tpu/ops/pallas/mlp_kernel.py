@@ -453,6 +453,497 @@ def _fused_mlp_bwd(l_pos, l_dir, act, occ_alpha, res, g):
 fused_mlp.defvjp(_fused_mlp_fwd, _fused_mlp_bwd)
 
 
+# ---------------------------------------------------------------------------
+# MLP + volume-compositing fusion (round 3)
+#
+# The r2 step profile showed ~1.1 ms/step of XLA ops around the MLP kernel
+# that exist only to feed/drain it: the (N, S, 3) point/direction broadcasts
+# (`ops/rendering.py:174-176`, 2x ~105 us), the compositing forward/backward
+# reduces (~0.5 ms), and (M, 1) layout artifacts (squeeze-as-reduce + T(1,128)
+# relayout copies, ~0.2 ms). This variant moves RAY EXPANSION (pts = origin +
+# ray*z) and ALPHA COMPOSITING (`model/rendering.py:119-147` semantics:
+# dist_to_alpha, eps-cumprod transmittance, weighted sums, white background)
+# into the same kernel, so HBM sees only per-RAY tensors: (R, 3) geometry in,
+# (R, 3)+(R, 1)+(R, S) composited results out.
+#
+# In-kernel layout bridges (Mosaic cannot reshape (R*S, 1) <-> (R, S)):
+# * selector matmul A (R, R*S), A[r, m] = [m//S == r]: expands per-ray rows
+#   to per-point rows (A^T x) and sums points back per ray (A x) on the MXU —
+#   0/1 selectors with exactly one hit per output element, so f32-exact;
+# * per-ray cumprod as a triangular matmul in log space:
+#   T = exp(log(1-alpha+eps) @ U), U strictly upper-triangular ones — the
+#   (R, S) @ (S, S) dot replaces XLA's lane-serial scan;
+# * the weighted rgb sum as a block-diagonal matmul W_bd (R, R*S) @ rgb.
+#
+# The selector/mask/triangular constants are NOT iota-built per grid step:
+# the first cut did that and per-tile construction cost more than the fused
+# XLA ops it replaced (r3 trace: fwd 1.64->2.27 ms, bwd 3.88->5.00 ms,
+# bench 57.3k->55.0k rays/s). They are baked host-side (numpy) and passed
+# as constant-index-map inputs, so the pipeline fetches them into VMEM once
+# and every later grid step reuses the resident copy — the same mechanism
+# that keeps the weights VMEM-resident. z_flat (the (R*S, 1) view of z) is
+# likewise a free XLA reshape outside instead of an in-kernel bridge.
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=8)
+def _composite_consts(R, S):
+    """Host-built constants: A (R, R*S) ray selector, mask (R*S, S) sample
+    selector, U (S, S) strictly-upper ones (exclusive log-cumsum), L (S, S)
+    strictly-lower ones (the backward's suffix sums)."""
+    m = np.arange(R * S)
+    s = np.arange(S)
+    A = (m[None, :] // S == np.arange(R)[:, None]).astype(np.float32)
+    mask = (m[:, None] % S == s[None, :]).astype(np.float32)
+    U = (s[:, None] < s[None, :]).astype(np.float32)
+    L = (s[:, None] > s[None, :]).astype(np.float32)
+    return A, mask, U, L
+
+
+def _const_specs(R, S):
+    """BlockSpecs for (A, mask, U, L): whole-array blocks at a constant
+    index, fetched once and VMEM-resident across grid steps."""
+    zero = lambda i: (0, 0)  # noqa: E731
+    return [
+        pl.BlockSpec((R, R * S), zero, memory_space=pltpu.VMEM),
+        pl.BlockSpec((R * S, S), zero, memory_space=pltpu.VMEM),
+        pl.BlockSpec((S, S), zero, memory_space=pltpu.VMEM),
+        pl.BlockSpec((S, S), zero, memory_space=pltpu.VMEM),
+    ]
+
+
+def _hi_dot(a, b, dims):
+    """Full-f32 (6-pass) dot — for the one epilogue dot where NEITHER
+    operand is bf16-exact (the weighted rgb sum)."""
+    return jax.lax.dot_general(
+        a, b, (dims, ((), ())),
+        precision=jax.lax.Precision.HIGHEST, preferred_element_type=_F32,
+    )
+
+
+def _pos_dot(sel, v, dims):
+    """Exact 3-pass selector dot for the POSITION chain (z bridge, origin/
+    ray expansion): positions feed sin(2^9 x), where even a 2^-18 value
+    error becomes ~1e-3 radians at the top frequency — but a 3-way bf16
+    split of the f32 value operand is EXACT (24 = 3x8 mantissa bits; each
+    residual v - rn8(v) is representable, each bf16xbf16 product is exact
+    in f32), so this matches HIGHEST at half its MXU passes."""
+    sb = sel.astype(_BF)
+    v0 = v.astype(_BF)
+    e0 = v - v0.astype(_F32)
+    v1 = e0.astype(_BF)
+    v2 = (e0 - v1.astype(_F32)).astype(_BF)
+    return (_bf_dot(sb, v0, dims) + _bf_dot(sb, v1, dims)
+            + _bf_dot(sb, v2, dims))
+
+
+def _bf_dot(a, b, dims):
+    return jax.lax.dot_general(
+        a, b, (dims, ((), ())), preferred_element_type=_F32)
+
+
+def _split_hi_lo(x):
+    hi = x.astype(_BF)
+    lo = (x - hi.astype(_F32)).astype(_BF)
+    return hi, lo
+
+
+def _sel_dot(sel, v, dims, sel_first=True):
+    """Two-pass f32 dot for the NON-position bridges (Mosaic has no
+    Precision.HIGH): ``sel`` entries are exactly bf16-representable (0/1
+    selectors, or 0/1 masks times bf16 values), so only ``v`` needs the
+    hi/lo split — sel@v = sel@v_hi + sel@v_lo, accurate to ~2^-18, far
+    below the bf16 MLP's own noise, at 1/3 the MXU passes of HIGHEST
+    (which dominated the first cut's epilogue cost on these skinny-M
+    dots). Position-chain dots stay HIGHEST (see :func:`_hi_dot`)."""
+    sb = sel.astype(_BF)
+    v_hi, v_lo = _split_hi_lo(v)
+    if sel_first:
+        return _bf_dot(sb, v_hi, dims) + _bf_dot(sb, v_lo, dims)
+    return _bf_dot(v_hi, sb, dims) + _bf_dot(v_lo, sb, dims)
+
+
+def _expand_rays(x, A, hi=False):
+    """(R, c) per-ray -> (R*S, c) per-point (one selector matmul)."""
+    if hi:
+        return _pos_dot(A, x, ((0,), (0,)))
+    return _sel_dot(A, x, ((0,), (0,)))
+
+
+def _flat_to_2d(v, A, mask):
+    """(R*S, 1) per-point -> (R, S); single-hit selector sums. The masked
+    value operand is built per bf16 part (0/1 mask times bf16 is exact)."""
+    mb = mask.astype(_BF)
+    v_hi, v_lo = _split_hi_lo(v)
+    return (_bf_dot(A.astype(_BF), mb * v_hi, ((1,), (0,)))
+            + _bf_dot(A.astype(_BF), mb * v_lo, ((1,), (0,))))
+
+
+def _2d_to_flat(w2, A, mask, hi=False):
+    """(R, S) -> (R*S, 1)."""
+    if hi:
+        u = _pos_dot(A, w2, ((0,), (0,)))     # (R*S, S): row m = w2[m//S, :]
+    else:
+        u = _sel_dot(A, w2, ((0,), (0,)))
+    return jnp.sum(u * mask, axis=1, keepdims=True)
+
+
+def _composite_fwd(rgb, d, z, deltas, A, mask, U, S, dist_alpha, white_bg):
+    """In-kernel compositing: per-point (rgb (R*S,3), d (R*S,1)) + per-ray
+    z/deltas (R, S) -> (rgb_values (R,3), dist (R,1), alpha (R,S), w (R,S),
+    trans (R,S), sig2d (R,S))."""
+    R = z.shape[0]
+    sig2d = _flat_to_2d(d, A, mask)
+    if dist_alpha:
+        lane = jax.lax.broadcasted_iota(jnp.int32, (R, S), 1)
+        alpha = 1.0 - jnp.exp(-sig2d * deltas)
+        alpha = jnp.where(lane == S - 1, 1.0, alpha)
+    else:
+        alpha = sig2d
+    # transmittance: exclusive cumprod of (1 - alpha + eps) in log space
+    trans = jnp.exp(
+        _sel_dot(U, jnp.log1p(1e-6 - alpha), ((1,), (0,)), sel_first=False))
+    w = alpha * trans
+    # weighted rgb sum as a block-diagonal matmul:
+    # w_cat[r, m] = w[r, m % S] (one mask contraction), zeroed off-block by A
+    w_cat = _sel_dot(mask, w, ((1,), (1,)), sel_first=False)   # (R, R*S)
+    # A * w_cat is NOT bf16-exact (it carries the weights), so this last
+    # skinny (R, R*S) @ (R*S, 3) dot stays HIGHEST — N=3 keeps it cheap
+    rgbv = _hi_dot(A * w_cat, rgb, ((1,), (0,)))        # (R, 3)
+    dist = jnp.sum(w * z, axis=1, keepdims=True)        # (R, 1)
+    if white_bg:
+        acc = jnp.sum(w, axis=1, keepdims=True)
+        rgbv = rgbv + (1.0 - acc)
+    return rgbv, dist, alpha, w, trans, sig2d
+
+
+def _composite_bwd(g_rgbv, g_dist, g_alpha, rgb, z, deltas, alpha, w,
+                   trans, sig2d, A, mask, L, S, dist_alpha, white_bg):
+    """Cotangents of the composite: -> (g_rgb (R*S,3), g_d (R*S,1)) at the
+    post-activation kernel heads."""
+    g_rgbv_flat = _expand_rays(g_rgbv, A)               # (R*S, 3)
+    # dL/dw
+    t = jnp.sum(g_rgbv_flat * rgb, axis=1, keepdims=True)   # (R*S, 1)
+    gw = _flat_to_2d(t, A, mask)                        # (R, S)
+    gw = gw + g_dist * z                                # dist = sum w*z
+    if white_bg:
+        gw = gw - jnp.sum(g_rgbv, axis=1, keepdims=True)
+    # dL/dalpha: gw*T direct term minus the transmittance chain
+    rsum = _sel_dot(L, gw * w, ((1,), (0,)),
+                    sel_first=False)                    # sum_{s>j} gw_s w_s
+    ga = gw * trans - rsum / (1.0 - alpha + 1e-6) + g_alpha
+    if dist_alpha:
+        R = z.shape[0]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (R, S), 1)
+        # alpha[:, -1] was forced to 1 (no gradient); elsewhere
+        # dalpha/dsigma = deltas * exp(-sigma*deltas)
+        g_sig2d = jnp.where(
+            lane == S - 1, 0.0,
+            ga * deltas * jnp.exp(-sig2d * deltas),
+        )
+    else:
+        g_sig2d = ga
+    g_d = _2d_to_flat(g_sig2d, A, mask)                 # (R*S, 1)
+    g_rgb = _2d_to_flat(w, A, mask) * g_rgbv_flat       # (R*S, 3)
+    return g_rgb, g_d
+
+
+def _make_fwd_composite_kernel(l_pos, l_dir, act, occ_alpha, S,
+                               dist_alpha, white_bg):
+    def kernel(o_ref, r_ref, dt_ref, z_ref, de_ref,
+               A_ref, mask_ref, U_ref, L_ref, *rest):
+        del L_ref  # forward only needs the upper-triangular cumsum
+        wrefs = rest[:-3]
+        rgbv_ref, dist_ref, alpha_ref = rest[-3:]
+        W = _weights_dict([r[:] for r in wrefs])
+        A, mask = A_ref[:], mask_ref[:]
+        # in-kernel (R, S) -> (R*S, 1) bridge: a (R*S, 1) HBM input would
+        # occupy 1 of 128 lanes per tile (64x inflated traffic — measured
+        # +0.9 ms/step as an input)
+        z_flat = _2d_to_flat(z_ref[:], A, mask, hi=True)
+        pts = (_expand_rays(o_ref[:], A, hi=True)
+               + _expand_rays(r_ref[:], A, hi=True) * z_flat)
+        enc = _encode_fwd(pts, l_pos)[0].astype(_BF)
+        # directions are constant along a ray: encode R rows, THEN expand
+        # the encoded channels (rowwise encoding commutes with row
+        # duplication) — S x fewer transcendentals and no frequency
+        # amplification of the bridge error
+        denc = _expand_rays(
+            _encode_fwd(dt_ref[:], l_dir)[0], A).astype(_BF)
+        _, raw_sigma, raw_rgb = _fwd_chain(enc, denc, W)
+        rgb, d = _act_fwd(raw_sigma, raw_rgb, act, occ_alpha)
+        rgbv, dist, alpha, _, _, _ = _composite_fwd(
+            rgb, d, z_ref[:], de_ref[:], A, mask, U_ref[:], S,
+            dist_alpha, white_bg)
+        rgbv_ref[:] = rgbv
+        dist_ref[:] = dist
+        alpha_ref[:] = alpha
+
+    return kernel
+
+
+def _make_bwd_composite_kernel(l_pos, l_dir, act, occ_alpha, S,
+                               dist_alpha, white_bg):
+    def kernel(o_ref, r_ref, dt_ref, z_ref, de_ref,
+               A_ref, mask_ref, U_ref, L_ref,
+               grgbv_ref, gdist_ref, galpha_ref, *rest):
+        wrefs = rest[:24]
+        do_out, dr_out, ddt_out = rest[24], rest[25], rest[26]
+        grads = rest[27:]
+        W = _weights_dict([r[:] for r in wrefs])
+
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            for g in grads:
+                g[:] = jnp.zeros(g.shape, _F32)
+
+        A, mask = A_ref[:], mask_ref[:]
+        z_flat = _2d_to_flat(z_ref[:], A, mask, hi=True)
+        pts = (_expand_rays(o_ref[:], A, hi=True)
+               + _expand_rays(r_ref[:], A, hi=True) * z_flat)
+        enc_f, sin_p, cos_p = _encode_fwd(pts, l_pos)
+        # per-RAY dir encoding (see forward kernel); sin_d/cos_d stay (R, nd)
+        denc_r, sin_d, cos_d = _encode_fwd(dt_ref[:], l_dir)
+        enc = enc_f.astype(_BF)
+        denc = _expand_rays(denc_r, A).astype(_BF)
+        a, raw_sigma, raw_rgb = _fwd_chain(enc, denc, W)
+        rgb, d = _act_fwd(raw_sigma, raw_rgb, act, occ_alpha)
+        _, _, alpha, w, trans, sig2d = _composite_fwd(
+            rgb, d, z_ref[:], de_ref[:], A, mask, U_ref[:], S,
+            dist_alpha, white_bg)
+
+        g_rgb, g_sig = _composite_bwd(
+            grgbv_ref[:], gdist_ref[:], galpha_ref[:], rgb, z_ref[:],
+            de_ref[:], alpha, w, trans, sig2d, A, mask, L_ref[:], S,
+            dist_alpha, white_bg)
+        g_rgb, g_sig = _act_bwd(raw_sigma, raw_rgb, g_rgb, g_sig, act,
+                                occ_alpha)
+
+        def gidx(name):
+            k = W_NAMES.index(name)
+            return grads[2 * k], grads[2 * k + 1]
+
+        def acc(name, x, g):
+            gw, gb = gidx(name)
+            gw[:] += _mm_acc(x, g)
+            gb[:] += jnp.sum(g, axis=0, keepdims=True)
+
+        def relu_mask(x):
+            # Mosaic has no cmpf on packed bf16 vectors — compare in f32
+            return x.astype(_F32) > 0
+
+        # identical weight/input chain to _make_bwd_kernel
+        acc("fc_rgb", a["hr"], g_rgb)
+        g_hr = _mm_t(g_rgb, W["fc_rgb"][0]) * relu_mask(a["hr"])
+        acc("rgb_layer", a["catr"], g_hr)
+        g_catr = _mm_t(g_hr, W["rgb_layer"][0])
+        g_feat = g_catr[:, : a["feat"].shape[1]]
+        g_denc = g_catr[:, a["feat"].shape[1]:]
+        # contract the per-point denc cotangents to per-ray BEFORE the
+        # encoding backward (the expansion's transpose), so the sin/cos
+        # chain runs on (R, nd) instead of (R*S, nd)
+        d_dirs_r = _encode_bwd(
+            _sel_dot(A, g_denc, ((1,), (0,))), sin_d, cos_d, l_dir, 3)
+        acc("fc_feature", a["a13"], g_feat)
+        acc("fc_density", a["a13"], g_sig)
+        g_h = (
+            _mm_t(g_feat, W["fc_feature"][0])
+            + _mm_t(g_sig, W["fc_density"][0])
+        ) * relu_mask(a["a13"])
+        for j in (3, 2, 1, 0):
+            x_in = a["cat"] if j == 0 else a[f"a1{j-1}"]
+            acc(f"trunk1_{j}", x_in, g_h)
+            g_h = _mm_t(g_h, W[f"trunk1_{j}"][0])
+            if j > 0:
+                g_h = g_h * relu_mask(x_in)
+        d_a03 = g_h[:, : a["a03"].shape[1]] * relu_mask(a["a03"])
+        g_enc = g_h[:, a["a03"].shape[1]:]
+        g_h = d_a03
+        for j in (3, 2, 1, 0):
+            x_in = enc if j == 0 else a[f"a0{j-1}"]
+            acc(f"trunk0_{j}", x_in, g_h)
+            g_h = _mm_t(g_h, W[f"trunk0_{j}"][0])
+            if j > 0:
+                g_h = g_h * relu_mask(x_in)
+        d_pts = _encode_bwd(g_enc + g_h, sin_p, cos_p, l_pos, 3)
+
+        # chain through the in-kernel ray expansion:
+        # pts = A^T o + (A^T r) * z_flat ; dirs already per-ray
+        do_out[:] = _sel_dot(A, d_pts, ((1,), (0,)))
+        dr_out[:] = _sel_dot(A, d_pts * z_flat, ((1,), (0,)))
+        ddt_out[:] = d_dirs_r
+
+    return kernel
+
+
+def _rays_per_block(S, target=1024):
+    """Rays per grid step: R*S ~ target points, R a multiple of 8 (f32
+    sublane tile) and at least 8. target=2048 was measured WORSE (bwd
+    5.43 vs 5.00 ms/step): the epilogue intermediates scale with the tile
+    and the bigger recompute loses more to VMEM pressure than the halved
+    tile count saves."""
+    return max(8, (target // S) // 8 * 8)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12))
+def fused_mlp_composite(weights, origins, rays, dirs, z, deltas,
+                        l_pos, l_dir, act, occ_alpha, dist_alpha,
+                        white_bg, S):
+    """Fully fused render: per-RAY inputs (origins/rays/dirs (N, 3), z/deltas
+    (N, S)) -> (rgb_values (N, 3), dist_pred (N, 1), alpha (N, S)).
+
+    Covers `model/rendering.py:108-147` in one kernel per direction: point
+    expansion, positional encoding, MLP, head activations, dist_to_alpha and
+    alpha compositing (eps=1e-6 cumprod, optional white background).
+    N must be a multiple of ``_rays_per_block(S)`` (callers pad).
+
+    The cumprod runs in log space (exp of a triangular-matmul cumsum), so
+    transmittance matches the XLA scan to ~1e-6 relative rather than
+    bitwise; z and deltas are treated as non-differentiable (their
+    cotangents are structurally zero in this model: z never depends on
+    params — `ops/rendering.py:161-174`)."""
+    out, _ = _fused_mlp_composite_fwd(
+        weights, origins, rays, dirs, z, deltas,
+        l_pos, l_dir, act, occ_alpha, dist_alpha, white_bg, S)
+    return out
+
+
+def _composite_specs(R, S, shapes):
+    in_specs = [
+        pl.BlockSpec((R, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((R, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((R, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((R, S), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((R, S), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    ] + _const_specs(R, S) + _wspecs(shapes)
+    return in_specs
+
+
+def _fused_mlp_composite_call(weights, origins, rays, dirs, z, deltas,
+                              l_pos, l_dir, act, occ_alpha, dist_alpha,
+                              white_bg, S, interpret=None):
+    if interpret is None:
+        interpret = INTERPRET
+    N = origins.shape[0]
+    R = _rays_per_block(S)
+    weights = _cast_weights(weights)
+    shapes = [w.shape for w in weights]
+    grid = (N // R,)
+    consts = _composite_consts(R, S)
+    rgbv, dist, alpha = pl.pallas_call(
+        _make_fwd_composite_kernel(l_pos, l_dir, act, occ_alpha, S,
+                                   dist_alpha, white_bg),
+        grid=grid,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
+        in_specs=_composite_specs(R, S, shapes),
+        out_specs=[
+            pl.BlockSpec((R, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, S), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, 3), _F32),
+            jax.ShapeDtypeStruct((N, 1), _F32),
+            jax.ShapeDtypeStruct((N, S), _F32),
+        ],
+        interpret=interpret,
+    )(origins, rays, dirs, z, deltas, *consts, *weights)
+    return rgbv, dist, alpha
+
+
+def _fused_mlp_composite_fwd(weights, origins, rays, dirs, z, deltas,
+                             l_pos, l_dir, act, occ_alpha, dist_alpha,
+                             white_bg, S):
+    out = _fused_mlp_composite_call(
+        weights, origins, rays, dirs, z, deltas,
+        l_pos, l_dir, act, occ_alpha, dist_alpha, white_bg, S)
+    return out, (weights, origins, rays, dirs, z, deltas)
+
+
+def _fused_mlp_composite_bwd(l_pos, l_dir, act, occ_alpha, dist_alpha,
+                             white_bg, S, res, g, interpret=None):
+    if interpret is None:
+        interpret = INTERPRET
+    weights, origins, rays, dirs, z, deltas = res
+    g_rgbv, g_dist, g_alpha = (x.astype(_F32) for x in g)
+    N = origins.shape[0]
+    R = _rays_per_block(S)
+    weights_c = _cast_weights(weights)
+    shapes = [w.shape for w in weights_c]
+    grid = (N // R,)
+    out_specs = [
+        pl.BlockSpec((R, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((R, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((R, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((N, 3), _F32),
+        jax.ShapeDtypeStruct((N, 3), _F32),
+        jax.ShapeDtypeStruct((N, 3), _F32),
+    ]
+    for s in shapes:
+        out_specs.append(
+            pl.BlockSpec(s, (lambda i: (0, 0)), memory_space=pltpu.VMEM)
+        )
+        out_shape.append(jax.ShapeDtypeStruct(s, _F32))
+    consts = _composite_consts(R, S)
+    outs = pl.pallas_call(
+        _make_bwd_composite_kernel(l_pos, l_dir, act, occ_alpha, S,
+                                   dist_alpha, white_bg),
+        grid=grid,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
+        in_specs=_composite_specs(R, S, shapes)[:9] + [
+            pl.BlockSpec((R, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, S), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ] + _wspecs(shapes),
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(origins, rays, dirs, z, deltas, *consts,
+      g_rgbv, g_dist, g_alpha, *weights_c)
+    d_origins, d_rays, d_dirs = outs[0], outs[1], outs[2]
+    d_weights = tuple(outs[3:])
+    # z/deltas: structurally zero cotangents (see docstring)
+    return (d_weights, d_origins, d_rays, d_dirs,
+            jnp.zeros_like(z), jnp.zeros_like(deltas))
+
+
+fused_mlp_composite.defvjp(_fused_mlp_composite_fwd, _fused_mlp_composite_bwd)
+
+
+def fused_mlp_composite_sharded(weights, origins, rays, dirs, z, deltas,
+                                l_pos, l_dir, act, occ_alpha, dist_alpha,
+                                white_bg, S, mesh):
+    """:func:`fused_mlp_composite` under a ray mesh (same recipe as
+    :func:`fused_mlp_sharded`): rays sharded on the leading axis, weights
+    replicated, dW psum'd by shard_map's transpose.
+
+    N must be a multiple of n_devices * _rays_per_block(S) (callers pad).
+    """
+    from functools import partial
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(tuple(P() for _ in weights), P(axis), P(axis), P(axis),
+                  P(axis), P(axis)),
+        out_specs=(P(axis), P(axis), P(axis)),
+        check_vma=False,
+    )
+    def f(ws, o, r, dt, zz, de):
+        return fused_mlp_composite(ws, o, r, dt, zz, de, l_pos, l_dir,
+                                   act, occ_alpha, dist_alpha, white_bg, S)
+
+    return f(tuple(weights), origins, rays, dirs, z, deltas)
+
+
 def fused_mlp_sharded(weights, pts, dirs, l_pos, l_dir, act, occ_alpha,
                       mesh):
     """:func:`fused_mlp` under a ray mesh: GSPMD cannot partition the

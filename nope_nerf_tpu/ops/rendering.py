@@ -173,16 +173,42 @@ def render_rays(
             z_val = stratified_zvals(z_val, rng)
         pts = camera_world[None, None, :] + ray_vector[:, None, :] * z_val[..., None]
 
-    dirs = jnp.broadcast_to(-ray_vector[:, None, :], (N, S, 3))
+    dir_per_ray = -ray_vector
     if not cfg["use_ray_dir"]:
-        dirs = jnp.ones_like(dirs)
+        dir_per_ray = jnp.ones_like(dir_per_ray)
+
+    n_pts = N * S
+    n_max = cfg.get("n_max_network_queries") or n_pts
+    if (
+        cfg.get("use_pallas_mlp", False)
+        and cfg.get("fuse_compositing", False)
+        and n_pts <= n_max
+    ):
+        # Fully fused render path (round 3): point expansion, pos-enc, MLP,
+        # head activations, dist_to_alpha AND alpha compositing in one
+        # Pallas kernel per direction — per-RAY tensors at the HBM boundary
+        # (the r2 profile showed ~1.1 ms/step of XLA broadcast/reduce/
+        # relayout ops around the point-level kernel).
+        if sample_option == "ndc":
+            origins, rays_in = ndc_o, ndc_d
+        else:
+            origins = jnp.broadcast_to(camera_world[None], (N, 3))
+            rays_in = ray_vector
+        rgb_values, dist_pred, alpha = _render_fused_composite(
+            nerf_params, origins, rays_in, dir_per_ray, z_val, cfg, N, S
+        )
+        return _render_outputs(
+            cfg, rng, eval_mode, nerf_params, precision, N, valid_mask,
+            dists, z_val, alpha, rgb_values, dist_pred, camera_world,
+            ray_vector, ray_norm, d_i_gt, sample_option,
+        )
+
+    dirs = jnp.broadcast_to(dir_per_ray[:, None, :], (N, S, 3))
 
     # Field evaluation. One fused batch when it fits (the TPU-native default:
     # 1024x128 points are ideal MXU tiles); for giant ray batches the
     # reference's n_max_network_queries memory bound (`model/rendering.py:108`)
     # is honoured with a lax.map chunk loop.
-    n_pts = N * S
-    n_max = cfg.get("n_max_network_queries") or n_pts
     pts_flat = pts.reshape(-1, 3)
     dirs_flat = dirs.reshape(-1, 3)
     if n_pts > n_max:
@@ -211,7 +237,66 @@ def render_rays(
     rgb_values, dist_pred, weights = composite(
         rgb, alpha, z_val, cfg["white_background"]
     )
+    return _render_outputs(
+        cfg, rng, eval_mode, nerf_params, precision, N, valid_mask, dists,
+        z_val, alpha, rgb_values, dist_pred, camera_world, ray_vector,
+        ray_norm, d_i_gt, sample_option,
+    )
 
+
+def _render_fused_composite(nerf_params, origins, rays_in, dir_per_ray,
+                            z_val, cfg, N, S):
+    """Dispatch to the MLP+compositing Pallas kernel (optionally sharded);
+    handles ray padding and the deltas precompute."""
+    from ..ops.pallas.mlp_kernel import (
+        _rays_per_block,
+        collect_weights,
+        fused_mlp_composite,
+        fused_mlp_composite_sharded,
+    )
+
+    deltas = jnp.concatenate(
+        [z_val[..., 1:] - z_val[..., :-1],
+         jnp.full_like(z_val[..., :1], 1e10)],
+        axis=-1,
+    )
+    mesh = cfg.get("pallas_mesh")
+    quantum = _rays_per_block(S) * (
+        mesh.devices.size if mesh is not None else 1
+    )
+    pad = (-N) % quantum
+    if pad:
+        origins = jnp.pad(origins, ((0, pad), (0, 0)))
+        rays_in = jnp.pad(rays_in, ((0, pad), (0, 0)))
+        dir_per_ray = jnp.pad(dir_per_ray, ((0, pad), (0, 0)))
+        z_val_p = jnp.pad(z_val, ((0, pad), (0, 0)), constant_values=1.0)
+        deltas = jnp.pad(deltas, ((0, pad), (0, 0)), constant_values=1.0)
+    else:
+        z_val_p = z_val
+    args = (
+        collect_weights(nerf_params), origins, rays_in, dir_per_ray,
+        z_val_p, deltas, cfg["pos_enc_levels"], cfg["dir_enc_levels"],
+        cfg["occ_activation"], not cfg["dist_alpha"], cfg["dist_alpha"],
+        cfg["white_background"], S,
+    )
+    if mesh is not None:
+        rgb_values, dist_pred, alpha = fused_mlp_composite_sharded(
+            *args, mesh)
+    else:
+        rgb_values, dist_pred, alpha = fused_mlp_composite(*args)
+    if pad:
+        rgb_values = rgb_values[:N]
+        dist_pred = dist_pred[:N]
+        alpha = alpha[:N]
+    return rgb_values, dist_pred[:, 0], alpha
+
+
+def _render_outputs(cfg, rng, eval_mode, nerf_params, precision, N,
+                    valid_mask, dists, z_val, alpha, rgb_values, dist_pred,
+                    camera_world, ray_vector, ray_norm, d_i_gt,
+                    sample_option):
+    """Shared tail of :func:`render_rays`: normal-smoothness term, eval-time
+    dist->depth conversion, NDC prior-depth transform, output dict."""
     normal_diff = None
     points_surface = camera_world[None] + ray_vector * dists[..., None]
     if (not eval_mode) and cfg.get("normal_loss", False):

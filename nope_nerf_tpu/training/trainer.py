@@ -565,6 +565,13 @@ def make_render_cfg(cfg):
             "use_pallas_mlp": tpu_cfg.get(
                 "use_pallas_mlp", jax.default_backend() == "tpu"
             ),
+            # extend the fused kernel through ray expansion + alpha
+            # compositing (ops/pallas/mlp_kernel.fused_mlp_composite):
+            # per-RAY tensors at the HBM boundary. Effective only with
+            # use_pallas_mlp; measured 60.5k vs 57.3k rays/s at the bench
+            # workload (r3: host-baked VMEM-resident selector constants,
+            # per-ray direction encoding, 2/3-pass split dots).
+            "fuse_compositing": tpu_cfg.get("fuse_compositing", True),
             # MLP matmul precision for the f32 XLA path ("default" |
             # "high" | "highest"); moot when mlp_bf16/use_pallas_mlp is on
             "matmul_precision": tpu_cfg.get("matmul_precision", "default"),

@@ -172,18 +172,118 @@ class TestFusedMLP:
         check(g_fused[1], g_ref[1], "pts")
         check(g_fused[2], g_ref[2], "dirs")
 
-    def test_padding(self, rng):
-        """Non-multiple-of-BM batches are padded and sliced correctly."""
-        import nope_nerf_tpu.ops.pallas.mlp_kernel as mk
-        from nope_nerf_tpu.models.nerf import apply_nerf
+class TestFusedComposite:
+    """Interpret-mode parity of the MLP+compositing kernel
+    (fused_mlp_composite) against the unfused paths at the render_rays
+    level — forward and gradients."""
 
-        params, pts, dirs, cfg_model = self._setup(rng, M=1500)
-        rgb_ref, den_ref = apply_nerf(params, pts, dirs, cfg_model)
+    def _render(self, rng_np, cfg_over, mode, n=16, s=128, grad=False):
+        import nope_nerf_tpu.ops.pallas.mlp_kernel as mk
+        from nope_nerf_tpu.models.nerf import init_nerf_params
+        from nope_nerf_tpu.ops.rendering import render_rays
+
+        cfg = {
+            "model": {"hidden_dim": 64, "pos_enc_levels": 10,
+                      "dir_enc_levels": 4, "occ_activation": "softplus"},
+            "rendering": {"white_background": False},
+        }
+        params = init_nerf_params(jax.random.PRNGKey(3), cfg)
+        render_cfg = {
+            "num_points": s, "depth_range": [0.1, 4.0],
+            "sample_option": "uniform", "dist_alpha": False,
+            "use_ray_dir": True, "normalise_ray": True,
+            "white_background": False, "normal_loss": False,
+            "outside_steps": 0, "occ_activation": "softplus",
+            "pos_enc_levels": 10, "dir_enc_levels": 4,
+            "mlp_bf16": True,
+        }
+        render_cfg.update(cfg_over)
+        if mode == "fused":
+            render_cfg.update(use_pallas_mlp=True, fuse_compositing=True)
+        elif mode == "pallas":
+            render_cfg.update(use_pallas_mlp=True, fuse_compositing=False)
+        pixels = jnp.asarray(rng_np.uniform(-1, 1, size=(n, 2)), jnp.float32)
+        depth = jnp.asarray(1.0 + rng_np.uniform(size=(n,)), jnp.float32)
+        cam = jnp.asarray(np.diag([1.2, -1.1, -1.0, 1.0]), jnp.float32)
+        world = jnp.eye(4, dtype=jnp.float32)
+        scale = jnp.eye(4, dtype=jnp.float32)
+
+        def fwd(p, w):
+            out = render_rays(p, pixels, depth, cam, w, scale, render_cfg,
+                              add_noise=False, eval_mode=False)
+            return out
+
         mk.INTERPRET = True
         try:
-            rgb, den = apply_nerf(params, pts, dirs,
-                                  dict(cfg_model, use_pallas_mlp=True))
+            if grad:
+                def loss(p, w):
+                    out = fwd(p, w)
+                    return (jnp.mean(out["rgb"] ** 2)
+                            + jnp.mean(jnp.cos(out["depth_pred"])))
+                return jax.grad(loss, argnums=(0, 1))(params, world)
+            return jax.tree.map(
+                lambda x: None if x is None else np.asarray(x), fwd(params, world)
+            )
         finally:
             mk.INTERPRET = False
-        assert rgb.shape == (1500, 3) and den.shape == (1500, 1)
-        np.testing.assert_allclose(rgb, rgb_ref, atol=0.03)
+
+    @pytest.mark.parametrize("dist_alpha,white_bg,s", [
+        (False, False, 128),
+        (True, False, 128),
+        (True, True, 128),
+        (False, False, 24),   # R=40 rays/block path (non-128 sample count)
+    ])
+    def test_forward_matches_unfused_pallas(self, rng, dist_alpha,
+                                            white_bg, s):
+        """Same MLP kernel numerics, so the only difference is the
+        compositing itself (log-space cumprod vs XLA scan): tight bound."""
+        over = {"dist_alpha": dist_alpha, "white_background": white_bg,
+                "num_points": s}
+        a = self._render(rng, over, "fused", s=s)
+        rng2 = np.random.default_rng(42)
+        b = self._render(rng2, over, "pallas", s=s)
+        np.testing.assert_allclose(a["rgb"], b["rgb"], atol=2e-5)
+        np.testing.assert_allclose(a["depth_pred"], b["depth_pred"],
+                                   atol=2e-4)
+        np.testing.assert_allclose(a["alpha"], b["alpha"], atol=2e-5)
+        np.testing.assert_allclose(a["depth_gt"], b["depth_gt"], atol=1e-6)
+
+    def test_forward_matches_xla_bf16(self, rng):
+        a = self._render(rng, {}, "fused")
+        rng2 = np.random.default_rng(42)
+        b = self._render(rng2, {}, "xla")
+        np.testing.assert_allclose(a["rgb"], b["rgb"], atol=0.03)
+        np.testing.assert_allclose(a["depth_pred"], b["depth_pred"],
+                                   atol=0.05)
+
+    def test_grads_match_unfused_pallas(self, rng):
+        ga = self._render(rng, {"dist_alpha": True}, "fused", grad=True)
+        rng2 = np.random.default_rng(42)
+        gb = self._render(rng2, {"dist_alpha": True}, "pallas", grad=True)
+
+        def check(x, y, nm, tol=2e-3):
+            x, y = np.asarray(x), np.asarray(y)
+            err = np.linalg.norm(x - y) / max(np.linalg.norm(y), 1e-12)
+            assert err < tol, f"{nm}: relL2={err:.5f}"
+
+        for name in gb[0]:
+            for k in ("w", "b"):
+                check(ga[0][name][k], gb[0][name][k], f"{name}/{k}")
+        check(ga[1], gb[1], "world_mat")
+
+
+def test_fused_mlp_padding(rng):
+    """Non-multiple-of-BM batches are padded and sliced correctly."""
+    import nope_nerf_tpu.ops.pallas.mlp_kernel as mk
+    from nope_nerf_tpu.models.nerf import apply_nerf
+
+    params, pts, dirs, cfg_model = TestFusedMLP()._setup(rng, M=1500)
+    rgb_ref, den_ref = apply_nerf(params, pts, dirs, cfg_model)
+    mk.INTERPRET = True
+    try:
+        rgb, den = apply_nerf(params, pts, dirs,
+                              dict(cfg_model, use_pallas_mlp=True))
+    finally:
+        mk.INTERPRET = False
+    assert rgb.shape == (1500, 3) and den.shape == (1500, 1)
+    np.testing.assert_allclose(rgb, rgb_ref, atol=0.03)
