@@ -210,6 +210,51 @@ class TestMeshTrainLoop:
         )
 
 
+class TestMultiplierMeshPallas:
+    @pytest.mark.parametrize("fuse", [False, True])
+    def test_vmap_of_shard_map_of_pallas(self, setup, fuse):
+        """rays_per_step_multiplier=2 + mesh + the Pallas field path: the
+        multi-frame branch puts shard_map(pallas_call) INSIDE
+        jax.vmap(_sample_and_render) (trainer.py) — ADVICE r2 flagged this
+        as never exercised (the CPU-mesh gate disables Pallas and the
+        driver dryrun had been red). Exercised here with interpret-mode
+        kernels on the 8-device mesh, and on real TPU with a 1-device mesh
+        (r3: both fused and unfused compiled and matched, loss 1.0260).
+        Parity vs the mesh-less Pallas path pins the values."""
+        import nope_nerf_tpu.ops.pallas.mlp_kernel as mk
+        from nope_nerf_tpu.training.trainer import compute_loss
+
+        cfg, state, batch, scalars, static, init_c2w = setup
+        cfg = dict(cfg)
+        cfg["tpu"] = {**cfg.get("tpu", {}), "rays_per_step_multiplier": 2}
+        rcfg = dict(make_render_cfg(cfg))
+        rcfg.update(use_pallas_mlp=True, fuse_compositing=fuse,
+                    mlp_bf16=True)
+        batch = dict(batch)
+        batch["idx"] = jnp.array([0, 1], jnp.int32)
+        rng = jax.random.PRNGKey(11)
+        mesh = make_ray_mesh(8)
+
+        def make_loss(rc, mesh_):
+            def loss(params):
+                return compute_loss(
+                    params, batch, scalars, rng, cfg=cfg, static=static,
+                    init_c2w=init_c2w, render_cfg=rc, mesh=mesh_)[0]
+            return loss
+
+        mk.INTERPRET = True
+        try:
+            l_ref = jax.jit(
+                make_loss(dict(rcfg, pallas_mesh=None), None))(state.params)
+            l_mesh, g_mesh = jax.jit(jax.value_and_grad(
+                make_loss(dict(rcfg, pallas_mesh=mesh), mesh)))(state.params)
+        finally:
+            mk.INTERPRET = False
+        np.testing.assert_allclose(float(l_mesh), float(l_ref), rtol=1e-5)
+        assert all(np.isfinite(np.asarray(x)).all()
+                   for x in jax.tree.leaves(g_mesh))
+
+
 class TestShardedFusedMLP:
     def test_sharded_matches_single(self):
         """fused_mlp_sharded (shard_map, interpret kernels) reproduces the
