@@ -405,10 +405,20 @@ def render_image(nerf_params, resolution, camera_mat, world_mat, scale_mat,
         # eval rendering shards via its own mesh argument below
         cfg = dict(cfg, pallas_mesh=None)
     if cfg.get("use_pallas_mlp", False):
-        # the fused kernel's win is the BACKWARD (VMEM-resident
-        # activations); for forward-only eval rendering XLA's own fusion is
-        # faster (measured 4.0 vs 6.7 s/image at 540x960x128 on v5e)
-        cfg = dict(cfg, use_pallas_mlp=False)
+        if cfg.get("fuse_compositing", False) and mesh is None:
+            # r3: the MLP+compositing kernel wins the eval FORWARD too
+            # (147 vs 175 ms per 65k rays x 128 samples on v5e — the
+            # compositing and layout traffic it absorbs outweigh the
+            # kernel overhead that made the plain fused_mlp forward a
+            # loss, r2: 6.7 vs 4.0 s/image)
+            pass
+        else:
+            # plain fused_mlp's win is the BACKWARD (VMEM-resident
+            # activations); forward-only, XLA's own fusion is faster —
+            # and under a mesh the eval path shards via shard_rays inside
+            # each chunk, which GSPMD cannot partition through the
+            # un-shard_mapped pallas_call
+            cfg = dict(cfg, use_pallas_mlp=False)
     mesh_key = None
     if mesh is not None:
         # semantic key (axes + device ids), NOT id(mesh): a dead mesh's id
