@@ -50,6 +50,13 @@ def build():
     cfg = load_config(DEFAULT_CONFIG, default_path=None)
     cfg["training"]["out_dir"] = "/tmp/bench_out"
     cfg["_num_cams"] = N_FRAMES
+    # variant measurements (opt-in modes, k-multiplier scaling): merge a
+    # JSON dict into cfg["tpu"], e.g. BENCH_TPU_OVERRIDES='{"chamfer_mode":
+    # "grid"}'. The headline bench is the default config (no overrides).
+    import os
+    overrides = os.environ.get("BENCH_TPU_OVERRIDES")
+    if overrides:
+        cfg["tpu"] = {**cfg.get("tpu", {}), **json.loads(overrides)}
 
     rng = np.random.default_rng(0)
 
@@ -99,7 +106,14 @@ def build():
                 ("nerf", "pose", "focal", "distortion")},
     }
     static = {"render_model": True, "use_ref": True, "use_rgb_s": True}
-    idxs = jnp.asarray(np.arange(SCAN_STEPS) % N_FRAMES, jnp.int32)
+    idxs = np.arange(SCAN_STEPS) % N_FRAMES
+    k = int(cfg.get("tpu", {}).get("rays_per_step_multiplier", 1))
+    if k > 1:
+        # (steps, k) frame indices, exactly the production loop's layout
+        # (training/loop.py: frame 0 keeps the epoch order)
+        extra = (idxs[:, None] + 1 + np.arange(k - 1)[None]) % N_FRAMES
+        idxs = np.concatenate([idxs[:, None], extra], axis=1)
+    idxs = jnp.asarray(idxs, jnp.int32)
     refs = jnp.asarray((np.arange(SCAN_STEPS) + 1) % N_FRAMES, jnp.int32)
     return state, epoch_fn, scene_arrays, idxs, refs, scalars, static
 
@@ -129,7 +143,9 @@ def main():
     _ = float(prev_aux["loss"])
     dt = time.perf_counter() - t0
     steps = MEASURE_DISPATCHES * SCAN_STEPS
-    rays_per_sec = steps * N_RAYS / dt
+    # with rays_per_step_multiplier k, each step consumes k frame-batches
+    k = idxs.shape[1] if idxs.ndim > 1 else 1
+    rays_per_sec = steps * N_RAYS * k / dt
     print(
         json.dumps(
             {

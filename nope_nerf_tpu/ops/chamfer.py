@@ -150,8 +150,11 @@ def nearest_idx_window(X, Y, window: int = 512, block: int = 128):
     insertion rank, with the window shared per ``block`` of consecutive
     queries so the candidate slab is one contiguous read and the score tile
     one batched MXU matmul — O(S·window) work instead of the exact kernel's
-    O(S·D) VPU passes (`ops/pallas/chamfer_kernel.py`, 8.9 ms/step at Tanks
-    scale).  Z-order discontinuities can miss the true NN for a small
+    O(S·D) VPU passes (`ops/pallas/chamfer_kernel.py`, 9.2 ms/step at Tanks
+    scale). Measured (r3, v5e): 10.8 vs exact 12.2 ms at 32,400² growing to
+    39.5 vs 143.9 ms at 129,600² — the approximate mode wins at every scale
+    and the gap widens quadratically.  Z-order discontinuities can miss the
+    true NN for a small
     fraction of points (measured ~1–3% on depth-map surface clouds, with the
     found neighbour still nearby), which perturbs the Chamfer mean by <1%%;
     convergence parity vs exact mode is pinned by
@@ -176,20 +179,50 @@ def nearest_idx_window(X, Y, window: int = 512, block: int = 128):
             return a
         return jnp.concatenate([a, jnp.repeat(a[-1:], p, axis=0)], axis=0)
 
+    # ONE batched merge-sort for both probes, positions by merge-rank.
+    # TPU cost model (r3 traces): the sort itself is cheap once batched
+    # (0.23 ms/step for a (4, 32k) lax.sort), but jnp.searchsorted is NOT —
+    # each call lowers to a 15-pass binary-search gather chain, and the four
+    # calls cost 13.3 ms/step, more than the exact kernel's whole argmin.
+    # Both are replaced by sorting the tagged CONCATENATION of the two
+    # clouds' codes (X tagged 0, Y tagged 1, tag in the LSB below the
+    # 30-bit code): after the sort, a prefix count of X-membership gives
+    # every element its rank within its own cloud, and
+    #   pos_x[i] = combined_position - own_rank = #{cy < cx[i]}
+    # falls out as arithmetic — the per-cloud orderings AND both
+    # searchsorted results from one (2, S+D) sort plus cumsums/scatters.
+    n2 = S + D
+    comb = jnp.stack([
+        jnp.concatenate([
+            _morton_code(X, lo, inv_extent, p) * 2,
+            _morton_code(Y, lo, inv_extent, p) * 2 + 1,
+        ]) for p in (0, 1)
+    ])                                                       # (2, n2)
+    iota = jnp.broadcast_to(jnp.arange(n2, dtype=jnp.int32), (2, n2))
+    _, perm_c = lax.sort((comb, iota), dimension=1, num_keys=1)
+
     def one_probe(probe):
-        cx = _morton_code(X, lo, inv_extent, probe)
-        cy = _morton_code(Y, lo, inv_extent, probe)
-        perm_x = jnp.argsort(cx)
-        perm_y = jnp.argsort(cy)
+        pc = perm_c[probe]                       # combined order -> concat idx
+        is_x = pc < S
+        i_rank = jnp.cumsum(is_x) - 1            # X-rank at each combined pos
+        j_rank = jnp.cumsum(~is_x) - 1           # Y-rank likewise
+        p_pos = jnp.arange(n2, dtype=jnp.int32)
+        # scatter combined-order rows to per-cloud sorted slots ('drop'
+        # discards the other cloud's rows via an out-of-bounds index)
+        def split(rank, mask, src, size):
+            tgt = jnp.where(mask, rank, size)
+            return jnp.zeros((size,), jnp.int32).at[tgt].set(
+                src, mode="drop")
+
+        perm_x = split(i_rank, is_x, pc, S)                   # sorted X order
+        perm_y = split(j_rank, ~is_x, pc - S, D)
+        pos_x = split(i_rank, is_x, p_pos - i_rank, S)        # #Y before
+        pos_y = split(j_rank, ~is_x, p_pos - j_rank, D)       # #X before
         Xs = X[perm_x]
         Ys = Y[perm_y]
-        cxs = cx[perm_x]
-        cys = cy[perm_y]
-        pos_x = jnp.searchsorted(cys, cxs).astype(jnp.int32)
         idx_xs = _window_direction(pad_q(Xs, block), Ys,
                                    pad_q(pos_x, block),
                                    min(window, D), block)[:S]
-        pos_y = jnp.searchsorted(cxs, cys).astype(jnp.int32)
         idx_ys = _window_direction(pad_q(Ys, block), Xs,
                                    pad_q(pos_y, block),
                                    min(window, S), block)[:D]
