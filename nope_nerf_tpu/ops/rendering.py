@@ -348,6 +348,13 @@ def _freeze(obj):
 def _render_image_jit(resolution, chunk, cfg_key, precision, mesh_key=None):
     cfg = {k: (list(v) if isinstance(v, tuple) else v) for k, v in cfg_key}
     mesh = _MESH_REGISTRY.get(mesh_key) if mesh_key is not None else None
+    if (mesh is not None and cfg.get("use_pallas_mlp", False)
+            and cfg.get("fuse_compositing", False)):
+        # re-attach the mesh for the fused composite path (stripped before
+        # the cache key — a Mesh is unhashable): render_rays then routes
+        # each chunk through fused_mlp_composite_sharded's shard_map, which
+        # composes with the shard_rays constraints below
+        cfg = dict(cfg, pallas_mesh=mesh)
 
     def impl(nerf_params, camera_mat, world_mat, scale_mat):
         from ..geometry.rays import arange_pixels
@@ -405,19 +412,18 @@ def render_image(nerf_params, resolution, camera_mat, world_mat, scale_mat,
         # eval rendering shards via its own mesh argument below
         cfg = dict(cfg, pallas_mesh=None)
     if cfg.get("use_pallas_mlp", False):
-        if cfg.get("fuse_compositing", False) and mesh is None:
+        if cfg.get("fuse_compositing", False):
             # r3: the MLP+compositing kernel wins the eval FORWARD too
             # (147 vs 175 ms per 65k rays x 128 samples on v5e — the
             # compositing and layout traffic it absorbs outweigh the
             # kernel overhead that made the plain fused_mlp forward a
-            # loss, r2: 6.7 vs 4.0 s/image)
+            # loss, r2: 6.7 vs 4.0 s/image). Under a mesh the kernel
+            # rides fused_mlp_composite_sharded's shard_map (re-attached
+            # inside _render_image_jit).
             pass
         else:
             # plain fused_mlp's win is the BACKWARD (VMEM-resident
-            # activations); forward-only, XLA's own fusion is faster —
-            # and under a mesh the eval path shards via shard_rays inside
-            # each chunk, which GSPMD cannot partition through the
-            # un-shard_mapped pallas_call
+            # activations); forward-only, XLA's own fusion is faster
             cfg = dict(cfg, use_pallas_mlp=False)
     mesh_key = None
     if mesh is not None:

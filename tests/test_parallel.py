@@ -138,6 +138,48 @@ class TestShardedEval:
                                    atol=1e-5)
         np.testing.assert_allclose(np.asarray(d1), np.asarray(d8), atol=1e-5)
 
+    def test_sharded_render_image_fused_composite(self):
+        """Mesh'd eval render through the fused MLP+compositing kernel
+        (r3): render_image re-attaches the mesh inside the cached jit and
+        the chunk loop rides fused_mlp_composite_sharded's shard_map.
+        Parity vs the single-device fused render (identical kernel
+        numerics) and exercises the pad-to-quantum path (64-ray chunks
+        pad to R*n_dev = 1024)."""
+        import nope_nerf_tpu.ops.pallas.mlp_kernel as mk
+        from nope_nerf_tpu.models import init_nerf_params
+        from nope_nerf_tpu.ops.rendering import render_image
+
+        cfg_model = {
+            "model": {"hidden_dim": 32, "pos_enc_levels": 4,
+                      "dir_enc_levels": 2, "occ_activation": "softplus"},
+            "rendering": {"white_background": False},
+        }
+        rcfg = {
+            "num_points": 8, "depth_range": [0.5, 4.0],
+            "sample_option": "uniform", "dist_alpha": False,
+            "use_ray_dir": True, "normalise_ray": True,
+            "white_background": False, "normal_loss": False,
+            "outside_steps": 0, "occ_activation": "softplus",
+            "pos_enc_levels": 4, "dir_enc_levels": 2,
+            "mlp_bf16": True, "use_pallas_mlp": True,
+            "fuse_compositing": True,
+        }
+        params = init_nerf_params(jax.random.PRNGKey(0), cfg_model)
+        K = jnp.diag(jnp.array([1.0, -1.0, -1.0, 1.0]))
+        mesh = make_ray_mesh(8)
+        mk.INTERPRET = True
+        try:
+            rgb1, d1 = render_image(params, (8, 16), K, jnp.eye(4),
+                                    jnp.eye(4), rcfg, chunk=64)
+            rgb8, d8 = render_image(params, (8, 16), K, jnp.eye(4),
+                                    jnp.eye(4), rcfg, chunk=64, mesh=mesh)
+        finally:
+            mk.INTERPRET = False
+        np.testing.assert_allclose(np.asarray(rgb1), np.asarray(rgb8),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(d1), np.asarray(d8),
+                                   atol=1e-5)
+
     def test_sharded_dpt_batched(self):
         from nope_nerf_tpu.models.dpt import apply_dpt_batched, init_dpt_params
 
