@@ -31,11 +31,13 @@ H, W = 540, 960
 N_RAYS = 1024
 N_FRAMES = 8
 WARMUP_DISPATCHES = 2
-SCAN_STEPS = 64         # steps fused per dispatch; production epochs scan
-                        # n_views steps (Tanks Ignatius: ~230 train views),
-                        # so this still under-amortises the per-dispatch
-                        # tunnel round-trip vs a real epoch
-MEASURE_DISPATCHES = 2  # 128 steps measured
+SCAN_STEPS = 192        # steps fused per dispatch; production epochs scan
+                        # n_views steps (Tanks Ignatius: ~230 train views) —
+                        # raised from 64 in r3 to track production dispatch
+                        # amortisation and to cut wall-clock measurement
+                        # noise (single 128-step runs varied +-1.3% through
+                        # the relay; device-trace step time is 17.1 ms)
+MEASURE_DISPATCHES = 3  # 576 steps measured
 
 
 def build():

@@ -99,13 +99,31 @@ def _enc_selector(levels, c=3):
     return jnp.where(k % c == r, freq, 0.0)
 
 
+def _split3(v):
+    """Exact 3-way bf16 split of an f32 array: v = v0 + v1 + v2 to within
+    2^-27 relative (24 = 3x8 mantissa bits; each residual v - rn8(v) is
+    f32-representable by Sterbenz), so a dot against a bf16-EXACT operand
+    in three bf16 passes matches HIGHEST to ~1 ulp at half its MXU cost."""
+    v0 = v.astype(_BF)
+    e0 = v - v0.astype(_F32)
+    v1 = e0.astype(_BF)
+    v2 = (e0 - v1.astype(_F32)).astype(_BF)
+    return v0, v1, v2
+
+
 def _encode_fwd(pts, levels):
     """(BM, c) points -> (enc (BM, n) f32, pt (BM, n), sin, cos) with the
-    scaled-channel expansion done on the MXU at full f32 precision."""
-    sel = _enc_selector(levels, pts.shape[1])
-    pt = jax.lax.dot_general(
-        pts, sel, (((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST, preferred_element_type=_F32,
+    scaled-channel expansion exact on the MXU: positions feed sin(2^9 x),
+    so anything short of f32 accuracy here is amplified 512x. The selector
+    is bf16-exact (0 / powers of two), so the 3-pass :func:`_split3` dot
+    matches 6-pass HIGHEST to ~1 ulp; on-device A/B traces (r3) showed it
+    0.06 ms/step faster (17.106 vs 17.164) — wall-clock bench runs could
+    NOT resolve this (session noise ±1.3%%)."""
+    sel = _enc_selector(levels, pts.shape[1]).astype(_BF)
+    pt = sum(
+        jax.lax.dot_general(p, sel, (((1,), (0,)), ((), ())),
+                            preferred_element_type=_F32)
+        for p in _split3(pts)
     )
     s = jnp.sin(pt)
     c = jnp.cos(pt)
@@ -117,10 +135,11 @@ def _encode_bwd(g, s, c, levels, nc):
     """d(pts) from d(enc), reusing the forward's sin/cos."""
     raw, sinm, cosm = _enc_masks(levels, nc)
     g_pt = g * (raw + sinm * c - cosm * s)
-    sel = _enc_selector(levels, nc)
-    return jax.lax.dot_general(
-        g_pt, sel, (((1,), (1,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST, preferred_element_type=_F32,
+    sel = _enc_selector(levels, nc).astype(_BF)
+    return sum(
+        jax.lax.dot_general(p, sel, (((1,), (1,)), ((), ())),
+                            preferred_element_type=_F32)
+        for p in _split3(g_pt)
     )
 
 
@@ -522,19 +541,13 @@ def _hi_dot(a, b, dims):
 
 
 def _pos_dot(sel, v, dims):
-    """Exact 3-pass selector dot for the POSITION chain (z bridge, origin/
-    ray expansion): positions feed sin(2^9 x), where even a 2^-18 value
-    error becomes ~1e-3 radians at the top frequency — but a 3-way bf16
-    split of the f32 value operand is EXACT (24 = 3x8 mantissa bits; each
-    residual v - rn8(v) is representable, each bf16xbf16 product is exact
-    in f32), so this matches HIGHEST at half its MXU passes."""
+    """Exact 3-pass selector dot (:func:`_split3`) for the POSITION chain
+    (z bridge, origin/ray expansion): positions feed sin(2^9 x), where
+    even a 2^-18 value error becomes ~1e-3 radians at the top frequency,
+    so these dots must match HIGHEST — which the 3-way split does at half
+    the MXU passes."""
     sb = sel.astype(_BF)
-    v0 = v.astype(_BF)
-    e0 = v - v0.astype(_F32)
-    v1 = e0.astype(_BF)
-    v2 = (e0 - v1.astype(_F32)).astype(_BF)
-    return (_bf_dot(sb, v0, dims) + _bf_dot(sb, v1, dims)
-            + _bf_dot(sb, v2, dims))
+    return sum(_bf_dot(sb, p, dims) for p in _split3(v))
 
 
 def _bf_dot(a, b, dims):

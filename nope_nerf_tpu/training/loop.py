@@ -167,9 +167,12 @@ def train(cfg, max_epochs=None, scene=None):
     from ..config import check_supported
 
     check_supported(cfg)
-    np.random.seed(42)
-    pyrng = pyrandom.Random(42)
-    key = jax.random.PRNGKey(42)
+    # reference hard-codes 42 (`train.py:22-23`); training.seed is a
+    # superset knob for trajectory-variance studies (default = parity)
+    seed = int(cfg["training"].get("seed", 42) or 42)
+    np.random.seed(seed)
+    pyrng = pyrandom.Random(seed)
+    key = jax.random.PRNGKey(seed)
 
     # observability superset (SURVEY.md §5.1-5.2): optional device profiler
     # trace and nan debugging

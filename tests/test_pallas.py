@@ -172,6 +172,60 @@ class TestFusedMLP:
         check(g_fused[1], g_ref[1], "pts")
         check(g_fused[2], g_ref[2], "dirs")
 
+class TestSplitDots:
+    """The kernel's bf16 split-dot precision claims (mlp_kernel._split3 /
+    _pos_dot / _sel_dot): a 3-way bf16 split of f32 reconstructs to ~2^-27
+    relative, and a 3-pass split dot against a bf16-exact selector matches
+    a full-f32 HIGHEST dot to float roundoff."""
+
+    def test_split3_reconstructs_f32(self, rng):
+        import nope_nerf_tpu.ops.pallas.mlp_kernel as mk
+
+        v = jnp.asarray(
+            rng.uniform(-8, 8, size=(512, 64)).astype(np.float32))
+        v0, v1, v2 = mk._split3(v)
+        rec = (v0.astype(jnp.float32) + v1.astype(jnp.float32)
+               + v2.astype(jnp.float32))
+        err = np.abs(np.asarray(rec - v))
+        assert err.max() <= np.abs(np.asarray(v)).max() * 2**-26
+
+    def test_pos_dot_matches_highest(self, rng):
+        import nope_nerf_tpu.ops.pallas.mlp_kernel as mk
+
+        # selector: 0/1 with exactly one hit per column (the A expansion)
+        sel = np.zeros((8, 128), np.float32)
+        sel[rng.integers(0, 8, size=128), np.arange(128)] = 1.0
+        sel = jnp.asarray(sel)
+        v = jnp.asarray(rng.normal(size=(8, 3)).astype(np.float32) * 3)
+        got = mk._pos_dot(sel, v, ((0,), (0,)))
+        want = jax.lax.dot_general(
+            sel, v, ((((0,), (0,))), ((), ())),
+            precision=jax.lax.Precision.HIGHEST)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=0, atol=1e-6)
+
+    def test_encode_fwd_matches_f64_reference(self, rng):
+        """The in-kernel positional encoding (3-pass split selector dot +
+        masks) against a float64 host-side reference — the top frequency
+        2^9 amplifies any value error 512x, so this pins the claim that
+        the split expansion is f32-exact."""
+        import nope_nerf_tpu.ops.pallas.mlp_kernel as mk
+
+        pts32 = rng.uniform(-4, 4, size=(64, 3)).astype(np.float32)
+        enc = np.asarray(mk._encode_fwd(jnp.asarray(pts32), 10)[0])
+        # reference channel order [x, sin_0, cos_0, sin_1, cos_1, ...],
+        # from the SAME f32 points in float64 (scaling by 2^lv is exact)
+        p64 = pts32.astype(np.float64)
+        cols = [p64]
+        for lv in range(10):
+            arg = p64 * (2.0 ** lv)
+            cols += [np.sin(arg), np.cos(arg)]
+        want = np.concatenate(cols, axis=1)
+        # remaining error is f32 sin argument reduction at |arg| ~ 2048
+        # (~1.2e-4); a bf16-truncated expansion would be ~4.0 off here
+        np.testing.assert_allclose(enc, want, atol=5e-4)
+
+
 class TestFusedComposite:
     """Interpret-mode parity of the MLP+compositing kernel
     (fused_mlp_composite) against the unfused paths at the render_rays
