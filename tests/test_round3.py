@@ -135,3 +135,41 @@ def test_chamfer_grid_convergence():
     pe, pg = np.asarray(pcs_e), np.asarray(pcs_g)
     assert np.all(np.abs(pe - pg) <= 0.10 * np.maximum(pe, 1e-3) + 5e-4), (
         pe, pg)
+
+
+def test_profile_tool_self_time_aggregation(tmp_path):
+    """tools/profile_train_step.aggregate: nested device events must be
+    charged to the INNERMOST op (self-time), parents keep the remainder,
+    and only device-lane pids count."""
+    import gzip
+    import json
+    import os
+
+    from tools.profile_train_step import aggregate
+
+    events = [
+        {"ph": "M", "pid": 3, "name": "process_name",
+         "args": {"name": "/device:TPU:0"}},
+        {"ph": "M", "pid": 9, "name": "process_name",
+         "args": {"name": "/host:CPU"}},
+        # device lane: outer 100us containing two 30us children
+        {"ph": "X", "pid": 3, "tid": 1, "name": "outer", "ts": 0,
+         "dur": 100},
+        {"ph": "X", "pid": 3, "tid": 1, "name": "child", "ts": 10,
+         "dur": 30},
+        {"ph": "X", "pid": 3, "tid": 1, "name": "child", "ts": 50,
+         "dur": 30},
+        # host lane noise: must be excluded
+        {"ph": "X", "pid": 9, "tid": 1, "name": "hostwork", "ts": 0,
+         "dur": 500},
+    ]
+    d = os.path.join(tmp_path, "plugins", "profile", "run1")
+    os.makedirs(d)
+    with gzip.open(os.path.join(d, "vm.trace.json.gz"), "wt") as f:
+        json.dump({"traceEvents": events}, f)
+
+    rows = {name: (ms, n) for ms, n, name in aggregate(str(tmp_path), 1)}
+    assert "hostwork" not in rows
+    np.testing.assert_allclose(rows["outer"][0], 0.040, rtol=1e-6)  # 100-60
+    np.testing.assert_allclose(rows["child"][0], 0.060, rtol=1e-6)
+    assert rows["child"][1] == 2
