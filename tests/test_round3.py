@@ -173,3 +173,20 @@ def test_profile_tool_self_time_aggregation(tmp_path):
     np.testing.assert_allclose(rows["outer"][0], 0.040, rtol=1e-6)  # 100-60
     np.testing.assert_allclose(rows["child"][0], 0.060, rtol=1e-6)
     assert rows["child"][1] == 2
+
+
+def test_bench_overrides_and_multiplier_layout(monkeypatch):
+    """bench.build honors BENCH_TPU_OVERRIDES and lays out (steps, k) frame
+    indices exactly like the production loop when the multiplier is set."""
+    import bench
+
+    monkeypatch.setenv(
+        "BENCH_TPU_OVERRIDES",
+        '{"rays_per_step_multiplier": 3, "chamfer_mode": "grid"}')
+    _, _, _, idxs, refs, _, _ = bench.build()
+    assert idxs.shape == (bench.SCAN_STEPS, 3)
+    assert refs.shape == (bench.SCAN_STEPS,)
+    idx0 = np.asarray(idxs)
+    # frame 0 keeps the epoch order; extras are distinct frames
+    assert (idx0[:, 0] == np.arange(bench.SCAN_STEPS) % bench.N_FRAMES).all()
+    assert (idx0[:, 1:] != idx0[:, :1]).all()
