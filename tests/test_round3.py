@@ -190,3 +190,46 @@ def test_bench_overrides_and_multiplier_layout(monkeypatch):
     # frame 0 keeps the epoch order; extras are distinct frames
     assert (idx0[:, 0] == np.arange(bench.SCAN_STEPS) % bench.N_FRAMES).all()
     assert (idx0[:, 1:] != idx0[:, :1]).all()
+
+
+@pytest.mark.parametrize("s,d", [(1500, 1700), (1700, 1500), (128, 128)])
+def test_merge_rank_positions_match_searchsorted(rng, s, d):
+    """The tagged merge-sort inside nearest_idx_window derives each cloud's
+    sorted order and its insertion ranks into the OTHER cloud from one
+    lax.sort (replacing 15-pass searchsorted chains); pin the arithmetic
+    against numpy argsort/searchsorted on random clouds by checking that
+    the block-median window starts the two formulations produce agree."""
+    from nope_nerf_tpu.ops import chamfer as ch
+
+    X, Y = _clouds(rng, s, d)
+    X, Y = jnp.asarray(X), jnp.asarray(Y)
+    allp = jnp.concatenate([X, Y], axis=0)
+    lo = jnp.min(allp, axis=0)
+    inv = 1.0 / jnp.maximum(jnp.max(allp, axis=0) - lo, 1e-12)
+
+    for probe in (0, 1):
+        cx = np.asarray(ch._morton_code(X, lo, inv, probe))
+        cy = np.asarray(ch._morton_code(Y, lo, inv, probe))
+        # reference formulation (what the pre-r3 code computed)
+        perm_x_ref = np.argsort(cx, kind="stable")
+        perm_y_ref = np.argsort(cy, kind="stable")
+        pos_x_ref = np.searchsorted(cy[perm_y_ref], cx[perm_x_ref])
+        pos_y_ref = np.searchsorted(cx[perm_x_ref], cy[perm_y_ref],
+                                    side="right")
+        # merge-rank formulation (mirrors nearest_idx_window's arithmetic)
+        comb = np.concatenate([cx.astype(np.int64) * 2,
+                               cy.astype(np.int64) * 2 + 1])
+        pc = np.argsort(comb, kind="stable")
+        is_x = pc < s
+        i_rank = np.cumsum(is_x) - 1
+        j_rank = np.cumsum(~is_x) - 1
+        p_pos = np.arange(s + d)
+        perm_x = pc[is_x]
+        perm_y = pc[~is_x] - s
+        pos_x = (p_pos - i_rank)[is_x]
+        pos_y = (p_pos - j_rank)[~is_x]
+        # sorted orders agree up to ties (codes equal); positions exactly
+        np.testing.assert_array_equal(cx[perm_x], cx[perm_x_ref])
+        np.testing.assert_array_equal(cy[perm_y], cy[perm_y_ref])
+        np.testing.assert_array_equal(pos_x, pos_x_ref)
+        np.testing.assert_array_equal(pos_y, pos_y_ref)
