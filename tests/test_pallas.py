@@ -281,18 +281,19 @@ class TestFusedComposite:
         finally:
             mk.INTERPRET = False
 
-    @pytest.mark.parametrize("dist_alpha,white_bg,s", [
-        (False, False, 128),
-        (True, False, 128),
-        (True, True, 128),
-        (False, False, 24),   # R=40 rays/block path (non-128 sample count)
+    @pytest.mark.parametrize("dist_alpha,white_bg,s,sample", [
+        (False, False, 128, "uniform"),
+        (True, False, 128, "uniform"),
+        (True, True, 128, "uniform"),
+        (False, False, 24, "uniform"),  # R=40 rays/block (non-128 samples)
+        (False, False, 128, "ndc"),     # ndc_o/ndc_d enter the kernel
     ])
     def test_forward_matches_unfused_pallas(self, rng, dist_alpha,
-                                            white_bg, s):
+                                            white_bg, s, sample):
         """Same MLP kernel numerics, so the only difference is the
         compositing itself (log-space cumprod vs XLA scan): tight bound."""
         over = {"dist_alpha": dist_alpha, "white_background": white_bg,
-                "num_points": s}
+                "num_points": s, "sample_option": sample}
         a = self._render(rng, over, "fused", s=s)
         rng2 = np.random.default_rng(42)
         b = self._render(rng2, over, "pallas", s=s)
