@@ -12,6 +12,13 @@ Prints ONE JSON line:
   {"metric": "train_rays_per_sec", "value": N, "unit": "rays/s",
    "vs_baseline": N / BASELINE}
 
+Outage resilience (round 4): the round-3 driver bench was zeroed by a single
+transient backend-init failure (BENCH_r03.json rc=1, axon "UNAVAILABLE").
+A failed backend init poisons the whole process (jax caches it), so the
+retry has to be a PROCESS retry: the parent re-runs the benchmark as a
+subprocess up to BENCH_ATTEMPTS times with BENCH_RETRY_BACKOFF_S between
+attempts, forwarding the child's JSON line verbatim on success.
+
 BASELINE_RAYS_PER_SEC: the reference implementation runs ~10 train
 iterations/sec x 1024 rays on a single modern NVIDIA GPU (estimated from its
 per-`print_every` timing line, reference train.py:218-222; no published
@@ -19,8 +26,46 @@ number exists in-repo — see BASELINE.md). Revise when a measured figure is
 available.
 """
 import json
+import os
+import sys
 import time
 
+BENCH_ATTEMPTS = 3
+BENCH_RETRY_BACKOFF_S = 60.0
+
+
+def _supervise():
+    """Run the benchmark in a child process with bounded retries; relay its
+    stdout (the single JSON line) and exit with its final return code."""
+    import subprocess
+
+    env = dict(os.environ, _BENCH_CHILD="1")
+    last_rc = 1
+    for attempt in range(BENCH_ATTEMPTS):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True,
+        )
+        if proc.stderr:
+            sys.stderr.write(proc.stderr)
+        if proc.returncode == 0 and proc.stdout.strip():
+            sys.stdout.write(proc.stdout)
+            sys.stdout.flush()
+            return 0
+        last_rc = proc.returncode or 1
+        if attempt < BENCH_ATTEMPTS - 1:
+            sys.stderr.write(
+                f"[bench] attempt {attempt + 1}/{BENCH_ATTEMPTS} failed "
+                f"(rc={proc.returncode}); retrying in "
+                f"{BENCH_RETRY_BACKOFF_S:.0f}s\n"
+            )
+            sys.stderr.flush()
+            time.sleep(BENCH_RETRY_BACKOFF_S)
+    return last_rc
+
+
+# importing jax does NOT initialize a backend (that happens at first device
+# use, inside the child) — the parent supervisor stays outage-immune
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -166,4 +211,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("_BENCH_CHILD") == "1":
+        main()
+    else:
+        sys.exit(_supervise())

@@ -93,18 +93,19 @@ def check_supported(cfg) -> None:
             "'highest' (lowercase)"
         )
     if mp != "default":
-        # mirror make_render_cfg's backend-dependent defaults
-        # (trainer.py:554-562): on CPU/GPU both default False, so
-        # matmul_precision *does* take effect and no warning is due
-        import jax
-
-        on_tpu = jax.default_backend() == "tpu"
-        if (tpu.get("mlp_bf16", on_tpu) is not False
-                or tpu.get("use_pallas_mlp", on_tpu) is not False):
+        # make_render_cfg defaults mlp_bf16 / use_pallas_mlp to True on TPU
+        # (trainer.py), where matmul_precision then has no effect. Decide the
+        # warning from the config alone — querying jax.default_backend() here
+        # would initialize the backend as a side effect of config VALIDATION,
+        # which can hang the whole CLI on a broken TPU session (the
+        # relay-outage mode documented in PARITY.md).
+        if (tpu.get("mlp_bf16", None) is not False
+                or tpu.get("use_pallas_mlp", None) is not False):
             warnings.warn(
                 "tpu.matmul_precision only affects the f32 XLA MLP path; "
-                "set tpu.mlp_bf16: False and tpu.use_pallas_mlp: False for "
-                "it to take effect on TPU",
+                "on TPU the MLP defaults to bf16 + Pallas where it has no "
+                "effect — set tpu.mlp_bf16: False and tpu.use_pallas_mlp: "
+                "False explicitly for it to take effect",
                 stacklevel=2,
             )
     cm = tpu.get("chamfer_mode", "exact")

@@ -21,34 +21,32 @@ def align_umeyama(model, data, known_scale=False, yaw_only=False):
     """Closed-form s, R, t minimising ||model - (s·R·data + t)||².
 
     model/data: (N, 3). Returns (s, R (3,3), t (3,)).
-    Matches `ATE/align_trajectory.py:28-81` including the reflection fix.
+    Same closed form as `ATE/align_trajectory.py:28-81` (Umeyama 1991,
+    eqs. 34-43), including the reflection handling.
     """
-    mu_M = model.mean(0)
-    mu_D = data.mean(0)
-    model_zc = model - mu_M
-    data_zc = data - mu_D
     n = model.shape[0]
+    model_mean = model.mean(0)
+    data_mean = data.mean(0)
+    model_c = model - model_mean
+    data_c = data - data_mean
 
-    C = (1.0 / n) * (model_zc.T @ data_zc)
-    sigma2 = (1.0 / n) * (data_zc * data_zc).sum()
-    U, D_svd, Vt = np.linalg.svd(C)
-    D_svd = np.diag(D_svd)
-    V = Vt.T
-
-    S = np.eye(3)
-    if np.linalg.det(U) * np.linalg.det(V) < 0:
-        S[2, 2] = -1
+    cov = model_c.T @ data_c / n
+    data_var = float((data_c * data_c).sum()) / n
+    u, sv, vt = np.linalg.svd(cov)
+    # reflection fix: when u·vt would be a reflection, flip the smallest
+    # singular direction so the recovered rotation stays proper
+    flip = np.ones(3)
+    if np.linalg.det(u) * np.linalg.det(vt) < 0:
+        flip[2] = -1.0
 
     if yaw_only:
-        rot_C = data_zc.T @ model_zc
-        theta = _best_yaw(rot_C)
-        R = _rot_z(theta)
+        rot = _rot_z(_best_yaw(data_c.T @ model_c))
     else:
-        R = U @ S @ V.T
+        rot = (u * flip) @ vt
 
-    s = 1.0 if known_scale else (1.0 / sigma2) * np.trace(D_svd @ S)
-    t = mu_M - s * (R @ mu_D)
-    return s, R, t
+    scale = 1.0 if known_scale else float((sv * flip).sum()) / data_var
+    shift = model_mean - scale * (rot @ data_mean)
+    return scale, rot, shift
 
 
 def _best_yaw(C):

@@ -41,20 +41,36 @@ def interp_poses(c2ws, n_views):
 
 
 def scipy_bspline(cv, n=100, degree=3, periodic=False):
-    """B-spline through control vertices (`model/common.py:563-589`)."""
+    """Sample ``n`` points on a degree-``degree`` B-spline whose control
+    polygon is ``cv`` ((K, dim) array).
+
+    Clamped (open-uniform) by default, so the curve starts and ends exactly
+    at the first/last control vertex; ``periodic=True`` instead closes the
+    curve by wrapping the control polygon around one full period. Output
+    semantics match the reference's path generator (`model/common.py:563-589`)
+    — same knot families evaluated over the same parameter span — but the
+    construction here is re-derived from the standard clamped / periodic
+    knot-vector definitions.
+    """
     cv = np.asarray(cv)
-    count = cv.shape[0]
+    count = len(cv)
     if periodic:
-        kv = np.arange(-degree, count + degree + 1)
-        factor, fraction = divmod(count + degree + 1, count)
-        cv = np.roll(np.concatenate((cv,) * factor + (cv[:fraction],)), -1, axis=0)
-        degree = np.clip(degree, 1, degree)
+        degree = max(int(degree), 1)
+        # wrap the control polygon: extended vertex i is cv[(i+1) % count],
+        # long enough (count+degree+1) to support one period of the curve
+        cv = cv[(np.arange(count + degree + 1) + 1) % count]
+        knots = np.arange(-degree, count + degree + 1, dtype=float)
+        t_max = float(count)
     else:
-        degree = np.clip(degree, 1, count - 1)
-        kv = np.clip(np.arange(count + degree + 1) - degree, 0, count - degree)
-    max_param = count - (degree * (1 - periodic))
-    spl = si.BSpline(kv, cv, degree)
-    return spl(np.linspace(0, max_param, n))
+        degree = int(np.clip(degree, 1, count - 1))
+        # clamped knots: degree+1 repeats at each end, uniform interior
+        knots = np.concatenate([
+            np.zeros(degree),
+            np.arange(count - degree + 1, dtype=float),
+            np.full(degree, count - degree, dtype=float),
+        ])
+        t_max = float(count - degree)
+    return si.BSpline(knots, cv, degree)(np.linspace(0.0, t_max, n))
 
 
 def interp_poses_bspline(c2ws, n_novel, input_times, degree):

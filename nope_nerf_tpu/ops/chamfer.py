@@ -192,12 +192,18 @@ def nearest_idx_window(X, Y, window: int = 512, block: int = 128):
     # falls out as arithmetic — the per-cloud orderings AND both
     # searchsorted results from one (2, S+D) sort plus cumsums/scatters.
     n2 = S + D
+    # Tagged keys sort as UNSIGNED: the 30-bit Morton code shifted by the
+    # 1-bit tag peaks at exactly 2^31-1, which is INT32_MAX with zero
+    # headroom — any future widening of the code (more bins, a larger probe
+    # shift) would overflow a signed key to negative and corrupt the merge
+    # order. uint32 doubles the headroom to 31 code bits; codes must stay
+    # <= 31 bits (currently 30, _morton_code).
     comb = jnp.stack([
         jnp.concatenate([
-            _morton_code(X, lo, inv_extent, p) * 2,
-            _morton_code(Y, lo, inv_extent, p) * 2 + 1,
+            _morton_code(X, lo, inv_extent, p).astype(jnp.uint32) << 1,
+            (_morton_code(Y, lo, inv_extent, p).astype(jnp.uint32) << 1) | 1,
         ]) for p in (0, 1)
-    ])                                                       # (2, n2)
+    ])                                                       # (2, n2) uint32
     iota = jnp.broadcast_to(jnp.arange(n2, dtype=jnp.int32), (2, n2))
     _, perm_c = lax.sort((comb, iota), dimension=1, num_keys=1)
 

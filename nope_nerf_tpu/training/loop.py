@@ -253,7 +253,10 @@ def train(cfg, max_epochs=None, scene=None):
     eval_img_every = cfg["training"]["eval_img_every"]
 
     gt_poses = scene.c2ws  # numpy (N, 4, 4) or None
-    throughput = Throughput(cfg["training"]["n_training_points"])
+    # with rays_per_step_multiplier k, every step consumes k frame-batches
+    # of n_training_points rays — count them all (bench.py's accounting)
+    _k_log = max(int(cfg.get("tpu", {}).get("rays_per_step_multiplier", 1)), 1)
+    throughput = Throughput(cfg["training"]["n_training_points"] * _k_log)
 
     # per-view distortion logging + reprojection dumps (`train.py:195,225-229`,
     # `model/training.py:344-354`)
