@@ -17,7 +17,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from nope_nerf_tpu.config import DEFAULT_CONFIG, check_supported, load_config
+from nope_nerf_tpu.config import (
+    DEFAULT_CONFIG,
+    apply_parity_profile,
+    check_supported,
+    load_config,
+)
 from nope_nerf_tpu.dataloading.scene import get_scene
 from nope_nerf_tpu.evaluation.eval_images import eval_image
 from nope_nerf_tpu.evaluation.metrics import median_scaled_depth_errors
@@ -34,6 +39,7 @@ from nope_nerf_tpu.utils.logging import MetricsLogger
 
 
 def main(cfg, eval_depth=False):
+    apply_parity_profile(cfg)
     np.random.seed(0)
 
     out_dir = cfg["training"]["out_dir"]

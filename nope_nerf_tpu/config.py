@@ -51,6 +51,51 @@ def update_recursive(dict1: dict, dict2: dict) -> None:
             dict1[k] = v
 
 
+# The individually-set flags that tpu.parity: True expands to — ONE knob
+# producing the most reference-faithful trajectory for A/B debugging. The
+# defaults quietly trade three small reproducibility deviations for speed
+# (documented in PARITY.md): with-replacement ray sampling vs randperm
+# (`model/training.py:257`), bf16/Pallas MLP numerics, and the pipelined
+# metrics sync seeing each epoch's PSNR one epoch late (`train.py:297-344`'s
+# plateau detector is eager in the reference).
+PARITY_PROFILE = {
+    "fast_ray_sampling": False,   # exact randperm[:n] sampling semantics
+    "chamfer_mode": "exact",      # reference dense-argmin nearest neighbours
+    "eager_metrics": True,        # plateau detector sees epoch e at epoch e
+    "mlp_bf16": False,            # f32 XLA MLP numerics
+    "use_pallas_mlp": False,
+}
+
+
+# stock configs/default.yaml values for the profile keys: a cfg carrying one
+# of these is indistinguishable from "user never touched it", so overriding
+# it is silent; any OTHER conflicting value must have been set on purpose
+_PARITY_STOCK = {"fast_ray_sampling": True, "chamfer_mode": "exact"}
+
+
+def apply_parity_profile(cfg) -> dict:
+    """Expand ``tpu.parity: True`` into :data:`PARITY_PROFILE` (in place).
+
+    The profile OVERRIDES conflicting keys — the point of the knob is a
+    single switch guaranteed to mean "reference semantics", not a suggestion
+    other flags can silently defeat — warning when the overridden value was
+    clearly set on purpose (differs from the stock default).
+    """
+    tpu = cfg.setdefault("tpu", {})
+    if not tpu.get("parity", False):
+        return cfg
+    import warnings
+
+    for k, v in PARITY_PROFILE.items():
+        if k in tpu and tpu[k] != v and tpu[k] != _PARITY_STOCK.get(k, v):
+            warnings.warn(
+                f"tpu.parity overrides explicit tpu.{k}={tpu[k]!r} -> {v!r}",
+                stacklevel=2,
+            )
+        tpu[k] = v
+    return cfg
+
+
 def check_supported(cfg) -> None:
     """Reject configurations the reference itself cannot run.
 

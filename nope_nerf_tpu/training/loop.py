@@ -164,9 +164,10 @@ def train(cfg, max_epochs=None, scene=None):
 
     Returns (state, scheduler, scene) for downstream use.
     """
-    from ..config import check_supported
+    from ..config import apply_parity_profile, check_supported
 
     check_supported(cfg)
+    apply_parity_profile(cfg)
     # reference hard-codes 42 (`train.py:22-23`); training.seed is a
     # superset knob for trajectory-variance studies (default = parity)
     seed = int(cfg["training"].get("seed", 42) or 42)
@@ -437,10 +438,14 @@ def train(cfg, max_epochs=None, scene=None):
             # IS epoch e's end state even when processed one epoch later
             pending = (epoch, it, aux_mean, aux_last, order0,
                        state.params["pose"])
-            if cfg["training"]["scheduling_mode"] == "reset":
+            if (cfg["training"]["scheduling_mode"] == "reset"
+                    or tpu_cfg.get("eager_metrics", False)):
                 # 'reset' re-initialises the field the moment the plateau
                 # fires; a pipelined (lagged) reset would silently discard
-                # one trained epoch, so this mode syncs eagerly
+                # one trained epoch, so this mode syncs eagerly.
+                # tpu.eager_metrics forces the same eager sync in any mode
+                # (set by the tpu.parity profile: the reference's plateau
+                # detector sees each epoch's PSNR the epoch it happened)
                 _process_epoch_metrics(pending)
             else:
                 # sync + process the PREVIOUS epoch's metrics (device keeps

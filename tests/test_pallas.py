@@ -303,6 +303,21 @@ class TestFusedComposite:
         np.testing.assert_allclose(a["alpha"], b["alpha"], atol=2e-5)
         np.testing.assert_allclose(a["depth_gt"], b["depth_gt"], atol=1e-6)
 
+    def test_chunked_fallback_stays_on_composite_kernel(self, rng):
+        """n_pts > n_max_network_queries with fuse_compositing on must chunk
+        RAYS through the same fused kernel (r4 fix: the old fallback dropped
+        to the point-level path) — identical numerics to one dispatch."""
+        over = {"num_points": 24}
+        a = self._render(rng, over, "fused", n=16, s=24)
+        rng2 = np.random.default_rng(42)
+        # 16x24=384 points, bound 96 -> 4 chunks of 4 rays via lax.map
+        b = self._render(rng2, dict(over, n_max_network_queries=96),
+                         "fused", n=16, s=24)
+        np.testing.assert_allclose(a["rgb"], b["rgb"], atol=1e-6)
+        np.testing.assert_allclose(a["depth_pred"], b["depth_pred"],
+                                   atol=1e-6)
+        np.testing.assert_allclose(a["alpha"], b["alpha"], atol=1e-6)
+
     def test_forward_matches_xla_bf16(self, rng):
         a = self._render(rng, {}, "fused")
         rng2 = np.random.default_rng(42)

@@ -16,7 +16,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from nope_nerf_tpu.config import DEFAULT_CONFIG, check_supported, load_config
+from nope_nerf_tpu.config import (
+    DEFAULT_CONFIG,
+    apply_parity_profile,
+    check_supported,
+    load_config,
+)
 from nope_nerf_tpu.dataloading.scene import get_scene
 from nope_nerf_tpu.geometry.rays import camera_mat_from_fxfy
 from nope_nerf_tpu.geometry.trajectory import (
@@ -32,6 +37,7 @@ from nope_nerf_tpu.training.trainer import make_render_cfg
 
 
 def main(cfg):
+    apply_parity_profile(cfg)
     np.random.seed(0)
     out_dir = cfg["training"]["out_dir"]
     generation_dir = os.path.join(out_dir, cfg["extract_images"]["extraction_dir"])
