@@ -58,11 +58,25 @@ def main(cfg):
     invert = cfg["depth"]["invert"]
     non_negative = cfg["depth"]["non_negative"]
 
+    # multi-chip: tpu.n_devices > 1 shards the FRAME batch over a 1-D mesh
+    # (SURVEY.md §2.5's batched-pose parallelism for DPT preprocessing) —
+    # params replicated, each chip runs its frames independently
+    n_dev = int((cfg.get("tpu", {}) or {}).get("n_devices", 1) or 1)
+    mesh = None
+    if n_dev > 1:
+        from nope_nerf_tpu.parallel.mesh import make_ray_mesh, replicated
+
+        mesh = make_ray_mesh(
+            n_dev, cfg.get("tpu", {}).get("mesh_axis", "rays") or "rays",
+            allow_virtual_cpu=False,
+        )
+        params = jax.device_put(params, replicated(mesh))
+
     # params as explicit jit args — closing over them would bake ~400 MB of
     # weight constants into the HLO (very slow to upload/compile)
     fwd_impl = jax.jit(
         lambda p, imgs: apply_dpt_batched(
-            p, imgs, scale=scale, shift=shift, invert=invert,
+            p, imgs, mesh=mesh, scale=scale, shift=shift, invert=invert,
             non_negative=non_negative,
         )
     )
@@ -72,16 +86,23 @@ def main(cfg):
 
     import imageio
 
-    # all frames share one resolution -> one compiled shape, batched
+    # all frames share one resolution -> one compiled shape, batched; the
+    # batch is a multiple of the mesh size so frames divide over the chips
     batch = []
     names = []
-    bs = 4
+    bs = 4 * max(n_dev // 4, 1) if n_dev > 1 else 4
+    bs = max(bs, n_dev)
     for i in range(scene.N_imgs):
         batch.append(dpt_input_transform(scene.imgs[i]))
         names.append(scene.img_list[i].split(".")[0])
         if len(batch) == bs or i == scene.N_imgs - 1:
-            depths = np.asarray(fwd(jnp.asarray(np.stack(batch))))
-            for d, name in zip(depths, names[-len(batch):]):
+            n_real = len(batch)
+            if mesh is not None and n_real % n_dev:
+                # pad the tail batch so it still divides over the mesh
+                batch += [batch[-1]] * (n_dev - n_real % n_dev)
+            depths = np.asarray(
+                fwd(jnp.asarray(np.stack(batch))))[:n_real]
+            for d, name in zip(depths, names[-n_real:]):
                 np.savez(os.path.join(out_dir, f"depth_{name}.npz"),
                          pred=d.astype(np.float32))
                 vis = (255.0 / max(d.max(), 1e-8) * d).astype(np.uint8)

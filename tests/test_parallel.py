@@ -381,3 +381,21 @@ class TestShardedChamfer:
         )(X, Y)
         np.testing.assert_allclose(gx, gx_ref, atol=1e-6)
         np.testing.assert_allclose(gy, gy_ref, atol=1e-6)
+
+
+class TestShardedDPTPreprocess:
+    def test_frame_batch_sharded_matches_unsharded(self):
+        """SURVEY.md §2.5's DPT batched-frame parallelism: sharding the
+        frame batch over the mesh must not change the depths (params
+        replicated, frames independent)."""
+        from nope_nerf_tpu.models.dpt import apply_dpt_batched, init_dpt_params
+
+        params = init_dpt_params(jax.random.PRNGKey(0))
+        rng = np.random.default_rng(0)
+        imgs = jnp.asarray(rng.uniform(size=(8, 32, 32, 3)), jnp.float32)
+        mesh = make_ray_mesh(8)
+        want = np.asarray(jax.jit(apply_dpt_batched)(params, imgs))
+        got = np.asarray(
+            jax.jit(lambda p, im: apply_dpt_batched(p, im, mesh=mesh))(
+                params, imgs))
+        np.testing.assert_allclose(got, want, atol=1e-5)

@@ -239,16 +239,20 @@ def test_check_supported_config():
     with _pytest.raises(ValueError, match="depth_consistency_weight"):
         check_supported({"training": {"depth_consistency_weight": 0.1}})
     check_supported({"training": {"depth_consistency_weight": [0.0, 0.0]}})
-    # matmul_precision warning is backend-aware: on a CPU backend the
-    # setting takes effect with default mlp flags -> no warning (ADVICE r2)
-    import jax as _jax
-
+    # matmul_precision warning decides from the CONFIG alone (ADVICE r3:
+    # querying jax.default_backend() in validation initializes the backend
+    # as a side effect, which can hang on a broken TPU session): it fires
+    # unless BOTH mlp flags are explicitly False
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
         check_supported({"tpu": {"matmul_precision": "highest"}})
-    expect_warn = _jax.default_backend() == "tpu"
-    got_warn = any("matmul_precision" in str(x.message) for x in w)
-    assert got_warn == expect_warn
+    assert any("matmul_precision" in str(x.message) for x in w)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        check_supported({"tpu": {"matmul_precision": "highest",
+                                 "mlp_bf16": False,
+                                 "use_pallas_mlp": False}})
+    assert not any("matmul_precision" in str(x.message) for x in w)
 
 
 @pytest.mark.parametrize("k", [2, 4])
