@@ -1,42 +1,56 @@
-"""Fused two-direction Chamfer argmin as a Pallas TPU kernel.
+"""Fused Chamfer argmin as a Pallas TPU kernel (v4: sublane-only sweeps).
 
 The XLA formulation (ops/chamfer.py) evaluates the (block, D) score tile per
 direction and lets XLA reduce it — at Tanks scale that materialises GBs of
 HBM traffic per step and computes the x·yᵀ dot twice.
 
-Kernel layout (v3): at Tanks scale the whole Y cloud is tiny
-(32,400 x 3 f32 = 389 KB), so Y (stored transposed, (3, D)) and the column
-carries stay **resident in VMEM** for the entire kernel. The grid runs over
-X blocks only (ni = S/TILE_X steps); each grid step sweeps Y in CHUNK_Y
-slices with an in-kernel ``fori_loop``.
+Kernel layout (v4): each direction is ONE sweep in which the cloud being
+REDUCED OVER lives in the sublane (block/grid) dimension and the cloud whose
+nearest-neighbour indices we want lives in the LANE dimension, transposed and
+VMEM-resident for the whole kernel (32,400 x 3 f32 = 389 KB at Tanks scale).
+The grid runs over reduced-cloud blocks (TILE rows); each grid step sweeps
+the lane cloud in CHUNK slices with an in-kernel ``fori_loop``, updating
+per-lane running (min, argmin) carries in VMEM scratch, flushed at the last
+grid step.
+
+Why this beats v3's shared-tile two-direction kernel (10.3 -> 7.3 ms at
+32,400² on v5e): a lane-axis (axis=1) min/argmin reduction lowers to
+intra-register shuffle trees and costs ~6 ms/sweep at this scale, while the
+sublane-axis (axis=0) reduction is a plain vreg tree costing ~0.8 ms.
+v3 computed the distance tile once and paid one cheap sublane reduction
+(Y→X) plus one expensive lane reduction (X→Y); v4 recomputes the distance
+tile per direction (the 3-sub/3-fma broadcast sweep is only ~2.8 ms) so BOTH
+directions reduce over sublanes. Measured r4: two directions 10.32 -> 7.34 ms,
+one direction (the per-shard sharded path) 9.60 -> 4.25 ms; indices bitwise
+identical (same per-pair arithmetic; min is order-insensitive and both
+formulations keep first-occurrence tie semantics — argmin over sublanes picks
+the lowest index inside a block, the strict ``<`` carry update keeps the
+earliest block).
 
 The squared-distance tile is computed DIRECTLY on the VPU:
 
-    D_ij = Σ_k (x_ik − y_jk)²   (3 sub + 3 fma broadcasts per tile)
+    D_ij = Σ_k (r_ik − q_jk)²   (3 sub + 3 fma broadcasts per tile)
 
-not as the xx − 2·x·yᵀ + yy MXU dot of v1/v2: a (TILE_X, CHUNK_Y) matmul with
+not as the rr − 2·r·qᵀ + qq MXU dot of v1/v2: a (TILE, CHUNK) matmul with
 K=3 is systolic-latency bound — the MXU emits a 128x128 output tile per pass
 regardless of K, so the "free FLOPs" formulation ran slower than the VPU
-broadcast (and subtracting near-equal products also loses precision). The
-tile is shared by BOTH argmin directions.
+broadcast (measured again r4: score-form dist was 9.8 vs 9.7 ms — the
+distance passes are NOT the bottleneck; and subtracting near-equal products
+also loses precision).
 
 Validity and padding cost ZERO in-kernel work: invalid/padded X points are
 moved to the (+1e5,...) sentinel and Y points to (−1e5,...) on the host side,
 so any pairing that involves an invalid point has squared distance ≥ 1e10 —
 about 6 orders of magnitude beyond any real scene distance — and never wins
 an argmin against a valid pair. (v2 carried +BIG bias vectors instead, which
-cost two extra full (TILE_X, CHUNK_Y) VPU passes per tile.) Indices returned
-for *invalid* X rows / Y columns are arbitrary valid-region indices; callers
-mask them out of the loss, matching the reference's semantics where invalid
+cost two extra full (TILE, CHUNK) VPU passes per tile.) Indices returned
+for *invalid* query lanes are arbitrary valid-region indices; callers mask
+them out of the loss, matching the reference's semantics where invalid
 points are dropped before the distance matrix (`model/losses.py:127-141`).
 
-* row argmin of D (X→Y) carried through the fori_loop;
-* column argmin of D (Y→X) carried in (Dp,) VMEM scratch across grid steps,
-  flushed at i == ni-1.
-
-Live VMEM: Yᵀ (0.4 MB) + distance slab (4 MB) + carries — far under the
-~16 MB/core scoped limit. HBM traffic collapses to the point clouds
-themselves. Forward-only (argmin indices carry no gradient —
+Live VMEM: resident transposed cloud (0.4 MB) + distance slab (4 MB) +
+carries — far under the ~16 MB/core scoped limit. HBM traffic collapses to
+the point clouds themselves. Forward-only (argmin indices carry no gradient —
 `model/losses.py:137-141` semantics); the differentiable
 distance-to-gathered-point happens outside.
 """
@@ -48,73 +62,55 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE_X = 1024    # X rows per grid step
-CHUNK_Y = 1024   # Y columns per inner-loop slice (4 MB f32 distance slab)
+TILE = 1024      # reduced-cloud rows per grid step (sublane dimension)
+CHUNK = 1024     # lane-cloud columns per inner-loop slice (4 MB f32 slab)
 _BIG = 1e10      # any invalid pairing scores >= (sentinel distance)^2 = 1e10
 _SENTINEL = 1e5  # X moved to +S, Y to -S: valid<->invalid >= S^2, inv<->inv 4S^2
 
 
-def _make_kernel(nj, two_dir=True):
-    """``two_dir=False`` builds the row-only (X -> Y) variant: no column
-    scratch, no per-tile column min/argmin passes — the per-shard sharded
-    loss sweeps each direction with its own call and would otherwise pay
-    the unused reduction on every tile."""
+def _make_kernel(nj):
+    """One sweep: for every lane point q of the resident transposed cloud,
+    the argmin over ALL rows r of the block cloud."""
 
-    def kernel(x_ref, yt_ref, idx_x_ref, *rest):
+    def kernel(r_ref, qt_ref, idx_ref, col_min, col_idx):
         i = pl.program_id(0)
         ni = pl.num_programs(0)
-        if two_dir:
-            idx_y_ref, col_min, col_idx = rest
 
-            @pl.when(i == 0)
-            def _():
-                col_min[:] = jnp.full(col_min.shape, _BIG, jnp.float32)
-                col_idx[:] = jnp.zeros(col_idx.shape, jnp.int32)
+        @pl.when(i == 0)
+        def _():
+            col_min[:] = jnp.full(col_min.shape, _BIG, jnp.float32)
+            col_idx[:] = jnp.zeros(col_idx.shape, jnp.int32)
 
-        # (TILE_X, 1) coordinate columns — broadcast against the lane-major
-        # (1, CHUNK_Y) Y rows below
-        x0 = x_ref[:, 0:1]
-        x1 = x_ref[:, 1:2]
-        x2 = x_ref[:, 2:3]
+        # (TILE, 1) coordinate columns — broadcast against the lane-major
+        # (1, CHUNK) resident-cloud rows below
+        r0 = r_ref[:, 0:1]
+        r1 = r_ref[:, 1:2]
+        r2 = r_ref[:, 2:3]
 
-        def body(j, carry):
-            row_min, row_idx = carry
-            sl = pl.dslice(j * CHUNK_Y, CHUNK_Y)
-            d0 = x0 - yt_ref[0:1, sl]
-            d1 = x1 - yt_ref[1:2, sl]
-            d2 = x2 - yt_ref[2:3, sl]
-            dist = d0 * d0 + d1 * d1 + d2 * d2   # (TILE_X, CHUNK_Y) on VPU
+        def body(j, _):
+            sl = pl.dslice(j * CHUNK, CHUNK)
+            d0 = r0 - qt_ref[0:1, sl]
+            d1 = r1 - qt_ref[1:2, sl]
+            d2 = r2 - qt_ref[2:3, sl]
+            dist = d0 * d0 + d1 * d1 + d2 * d2   # (TILE, CHUNK) on VPU
 
-            # --- direction X -> Y: row argmin ------------------------------
-            tmin = jnp.min(dist, axis=1)
-            targ = jnp.argmin(dist, axis=1).astype(jnp.int32) + j * CHUNK_Y
-            better = tmin < row_min
-            row_min = jnp.where(better, tmin, row_min)
-            row_idx = jnp.where(better, targ, row_idx)
+            # sublane (axis=0) min+argmin per lane; running carries in VMEM
+            tmin = jnp.min(dist, axis=0)
+            targ = jnp.argmin(dist, axis=0).astype(jnp.int32) + i * TILE
+            cm = col_min[sl]
+            ci = col_idx[sl]
+            bet = tmin < cm
+            col_min[sl] = jnp.where(bet, tmin, cm)
+            col_idx[sl] = jnp.where(bet, targ, ci)
+            return 0
 
-            if two_dir:
-                # --- direction Y -> X: column argmin -----------------------
-                tmin_y = jnp.min(dist, axis=0)
-                targ_y = jnp.argmin(dist, axis=0).astype(jnp.int32) \
-                    + i * TILE_X
-                cm = col_min[sl]
-                ci = col_idx[sl]
-                bet = tmin_y < cm
-                col_min[sl] = jnp.where(bet, tmin_y, cm)
-                col_idx[sl] = jnp.where(bet, targ_y, ci)
-            return row_min, row_idx
-
-        row_min0 = jnp.full((TILE_X,), _BIG, jnp.float32)
-        row_idx0 = jnp.zeros((TILE_X,), jnp.int32)
         # fori_loop (not unrolled): an unrolled sweep keeps several 4 MB
         # distance slabs live at once and blows the 16 MB scoped-VMEM limit
-        _, row_idx = lax.fori_loop(0, nj, body, (row_min0, row_idx0))
-        idx_x_ref[i, :] = row_idx
+        lax.fori_loop(0, nj, body, 0)
 
-        if two_dir:
-            @pl.when(i == ni - 1)
-            def _():
-                idx_y_ref[0, :] = col_idx[:]
+        @pl.when(i == ni - 1)
+        def _():
+            idx_ref[0, :] = col_idx[:]
 
     return kernel
 
@@ -135,10 +131,39 @@ def _prep(pts, valid, n, sentinel):
     return pts
 
 
+def _nearest_sweep(blocks, lanes_t, interpret):
+    """One direction: argmin over `blocks` rows for every column of the
+    transposed lane cloud ``lanes_t`` (3, Qp). Shapes pre-padded."""
+    ni = blocks.shape[0] // TILE
+    nq = lanes_t.shape[1]
+    (idx,) = pl.pallas_call(
+        _make_kernel(nq // CHUNK),
+        grid=(ni,),
+        in_specs=[
+            pl.BlockSpec((TILE, 3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            # whole lane cloud resident in VMEM, transposed so coordinate
+            # rows are lane-major (constant index -> one DMA)
+            pl.BlockSpec((3, nq), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, nq), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((1, nq), jnp.int32)],
+        scratch_shapes=[
+            pltpu.VMEM((nq,), jnp.float32),
+            pltpu.VMEM((nq,), jnp.int32),
+        ],
+        interpret=interpret,
+    )(blocks, lanes_t)
+    return idx.reshape(-1)
+
+
 def nearest_idx_pallas(X, Y, x_valid=None, y_valid=None, interpret=False,
                        two_dir=True):
     """Pallas drop-in for ops.chamfer.nearest_idx (same contract; indices at
-    invalid rows/columns are arbitrary — callers mask them).
+    invalid rows are arbitrary — callers mask them).
 
     PRECONDITION — coordinate magnitude: invalid/padded points are moved to
     the +-1e5 sentinels (``_SENTINEL``), so a valid pairing only reliably
@@ -148,8 +173,7 @@ def nearest_idx_pallas(X, Y, x_valid=None, y_valid=None, interpret=False,
     approaching 1e5 would silently mis-pair; a debug assert below guards
     this outside jit.
 
-    ``two_dir=False`` returns only idx_x (X -> Y) and skips the column
-    reduction entirely."""
+    ``two_dir=False`` returns only idx_x (X -> Y) in one sweep."""
     if not isinstance(X, jax.core.Tracer):  # debug-mode magnitude guard
         m = max(float(jnp.max(jnp.abs(X))), float(jnp.max(jnp.abs(Y))))
         assert m < _SENTINEL / 10.0, (
@@ -160,49 +184,18 @@ def nearest_idx_pallas(X, Y, x_valid=None, y_valid=None, interpret=False,
     X = lax.stop_gradient(X)
     Y = lax.stop_gradient(Y)
     S, D = X.shape[0], Y.shape[0]
-    Sp = -(-S // TILE_X) * TILE_X
-    Dp = -(-D // CHUNK_Y) * CHUNK_Y
+    Sp = -(-S // TILE) * TILE
+    Dp = -(-D // TILE) * TILE
     Xp = _prep(X, x_valid, Sp, _SENTINEL)
     Yp = _prep(Y, y_valid, Dp, -_SENTINEL)
 
-    ni, nj = Sp // TILE_X, Dp // CHUNK_Y
-    # full-array output blocks (VMEM-resident for the whole kernel):
-    # written with dynamic row indices at the flush steps
-    out_specs = [
-        pl.BlockSpec((ni, TILE_X), lambda i: (0, 0),
-                     memory_space=pltpu.VMEM),
-    ]
-    out_shape = [jax.ShapeDtypeStruct((ni, TILE_X), jnp.int32)]
-    scratch = []
-    if two_dir:
-        out_specs.append(
-            pl.BlockSpec((1, Dp), lambda i: (0, 0), memory_space=pltpu.VMEM)
-        )
-        out_shape.append(jax.ShapeDtypeStruct((1, Dp), jnp.int32))
-        scratch = [
-            pltpu.VMEM((Dp,), jnp.float32),
-            pltpu.VMEM((Dp,), jnp.int32),
-        ]
-    outs = pl.pallas_call(
-        _make_kernel(nj, two_dir),
-        grid=(ni,),
-        in_specs=[
-            pl.BlockSpec((TILE_X, 3), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            # whole Y cloud resident in VMEM, transposed so coordinate rows
-            # are lane-major (constant index -> one DMA)
-            pl.BlockSpec((3, Dp), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=out_specs,
-        out_shape=out_shape,
-        scratch_shapes=scratch,
-        interpret=interpret,
-    )(Xp, Yp.T)
+    # X -> Y: X in lanes, Y in blocks (reduced over sublanes)
+    idx_x = _nearest_sweep(Yp, Xp.T, interpret)[:S]
     if not two_dir:
-        return outs[0].reshape(-1)[:S]
-    idx_x, idx_y = outs
-    return idx_x.reshape(-1)[:S], idx_y.reshape(-1)[:D]
+        return idx_x
+    # Y -> X: mirrored sweep
+    idx_y = _nearest_sweep(Xp, Yp.T, interpret)[:D]
+    return idx_x, idx_y
 
 
 def chamfer_loss_pallas(X, Y, x_valid=None, y_valid=None, interpret=False):
@@ -231,10 +224,9 @@ def chamfer_loss_pallas_sharded(X, Y, mesh, interpret=False):
     per-shard under ``shard_map``: each device owns a slice of X (and of Y)
     and sweeps it against the **all-gathered** other cloud — Y is ~0.4 MB at
     Tanks scale, so the gather is noise on ICI while the O(S·D) distance
-    work divides by the mesh size. Each direction is one ROW-ONLY kernel
-    call (``two_dir=False``) on its owner's rows — the combined
-    two-direction kernel would need a cross-device argmin merge, and its
-    column passes would be dead work here. Differentiable exactly like
+    work divides by the mesh size. Each direction is one single-sweep kernel
+    call (``two_dir=False``) with the shard's points in the lane dimension
+    and the gathered full cloud in blocks. Differentiable exactly like
     :func:`chamfer_loss_pallas` — argmin is gradient-free, the
     distance-to-gathered-point is autodiffed, and ``all_gather``'s
     transpose (reduce-scatter) routes the Y-side gradients home.
