@@ -601,10 +601,16 @@ def _2d_to_flat(w2, A, mask, hi=False):
     return jnp.sum(u * mask, axis=1, keepdims=True)
 
 
-def _composite_fwd(rgb, d, z, deltas, A, mask, U, S, dist_alpha, white_bg):
+def _composite_fwd(rgb, d, z, deltas, A, mask, U, S, dist_alpha, white_bg,
+                   heads=True):
     """In-kernel compositing: per-point (rgb (R*S,3), d (R*S,1)) + per-ray
     z/deltas (R, S) -> (rgb_values (R,3), dist (R,1), alpha (R,S), w (R,S),
-    trans (R,S), sig2d (R,S))."""
+    trans (R,S), sig2d (R,S)).
+
+    ``heads=False`` (the backward's recompute) skips the rgb/dist epilogue
+    dots explicitly — the backward only consumes alpha/w/trans/sig2d.
+    (Measured r4: Mosaic does DCE the dead dots, so this is documentation,
+    not a perf win — it keeps the recompute's cost model visible.)"""
     R = z.shape[0]
     sig2d = _flat_to_2d(d, A, mask)
     if dist_alpha:
@@ -617,6 +623,8 @@ def _composite_fwd(rgb, d, z, deltas, A, mask, U, S, dist_alpha, white_bg):
     trans = jnp.exp(
         _sel_dot(U, jnp.log1p(1e-6 - alpha), ((1,), (0,)), sel_first=False))
     w = alpha * trans
+    if not heads:
+        return None, None, alpha, w, trans, sig2d
     # weighted rgb sum as a block-diagonal matmul:
     # w_cat[r, m] = w[r, m % S] (one mask contraction), zeroed off-block by A
     w_cat = _sel_dot(mask, w, ((1,), (1,)), sel_first=False)   # (R, R*S)
@@ -725,7 +733,7 @@ def _make_bwd_composite_kernel(l_pos, l_dir, act, occ_alpha, S,
         rgb, d = _act_fwd(raw_sigma, raw_rgb, act, occ_alpha)
         _, _, alpha, w, trans, sig2d = _composite_fwd(
             rgb, d, z_ref[:], de_ref[:], A, mask, U_ref[:], S,
-            dist_alpha, white_bg)
+            dist_alpha, white_bg, heads=False)
 
         g_rgb, g_sig = _composite_bwd(
             grgbv_ref[:], gdist_ref[:], galpha_ref[:], rgb, z_ref[:],
