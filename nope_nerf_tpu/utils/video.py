@@ -1,8 +1,9 @@
 """Video writing with graceful fallback.
 
 The reference writes mp4 via imageio-ffmpeg (`evaluation/eval.py:209`,
-`vis/render.py:114-115`); this image has no ffmpeg backend, so fall back to
-an animated GIF (pillow backend, always available) plus per-frame pngs.
+`vis/render.py:114-115`). Preference order here: imageio's ffmpeg backend
+(best codec, if the host has it) -> our own pure-Python MJPEG-in-MP4 muxer
+(`utils/mp4.py`, always available) -> animated GIF + per-frame pngs.
 """
 from __future__ import annotations
 
@@ -24,6 +25,16 @@ def write_video(path, frames, fps=30, quality=9):
         return path
     except Exception:
         pass
+    if os.path.splitext(path)[1].lower() in (".mp4", ".m4v", ".mov"):
+        try:
+            from .mp4 import write_mjpeg_mp4
+
+            # imageio quality is 0-10; JPEG quality is 1-95
+            return write_mjpeg_mp4(
+                path, frames, fps=fps,
+                quality=int(np.clip(quality * 9.5, 50, 95)))
+        except Exception as exc:  # pragma: no cover - defensive
+            print(f"mjpeg-mp4 muxer failed ({exc}); falling back to gif")
     gif = os.path.splitext(path)[0] + ".gif"
     try:
         imageio.mimwrite(gif, frames, duration=1000.0 / fps, loop=0)
