@@ -64,15 +64,21 @@ class TestMuxer:
         write_mjpeg_mp4(path, _frames(n=4), fps=30)
         data = open(path, "rb").read()
         mdat = next((s, e) for k, s, e in parse_boxes(data) if k == b"mdat")
+        # walk the box tree (a raw byte-find could false-hit JPEG data)
+        span = dict(
+            (k, (s, e)) for k, s, e in parse_boxes(data))[b"moov"]
+        for kind in (b"trak", b"mdia", b"minf", b"stbl"):
+            span = dict((k, (s, e))
+                        for k, s, e in parse_boxes(data, *span))[kind]
+        stbl = dict((k, (s, e)) for k, s, e in parse_boxes(data, *span))
         # stsz sample sizes must sum to the mdat payload
-        idx = data.find(b"stsz")
-        n = struct.unpack(">I", data[idx + 12:idx + 16])[0]
-        sizes = struct.unpack(f">{n}I", data[idx + 16:idx + 16 + 4 * n])
+        s = stbl[b"stsz"][0]
+        n = struct.unpack(">I", data[s + 8:s + 12])[0]
+        sizes = struct.unpack(f">{n}I", data[s + 12:s + 12 + 4 * n])
         assert sum(sizes) == mdat[1] - mdat[0]
         # and the single stco chunk offset points at the mdat payload
-        idx = data.find(b"stco")
-        # stco payload: ver+flags, entry_count, then the single offset
-        off = struct.unpack(">I", data[idx + 12:idx + 16])[0]
+        s = stbl[b"stco"][0]
+        off = struct.unpack(">I", data[s + 8:s + 12])[0]
         assert off == mdat[0]
 
     def test_input_validation(self, tmp_path):
