@@ -27,6 +27,16 @@ formulations keep first-occurrence tie semantics — argmin over sublanes picks
 the lowest index inside a block, the strict ``<`` carry update keeps the
 earliest block).
 
+Rejected (v5 experiment, measured r4): a single bidirectional sweep that
+computes each tile once and recovers the lane-direction argmin with
+value-only reductions (``min(where(dist == lane_min(dist), iota, INT_MAX))``,
+lane mins as explicit halving folds to dodge Mosaic's generic cross-lane
+reduction) ran 12.3 vs 10.1 ms at 32,400² and 135 vs 97 ms at 129,600²
+(indices identical): once the 4 MB tile lives in VMEM rather than vregs,
+every extra pass over it (compare, select, each fold's copy) is VMEM-traffic
+that costs MORE than v4's fused recompute of the tile, which streams
+compute+reduce in one pass. Don't retry tile-sharing here.
+
 The squared-distance tile is computed DIRECTLY on the VPU:
 
     D_ij = Σ_k (r_ik − q_jk)²   (3 sub + 3 fma broadcasts per tile)
