@@ -485,69 +485,55 @@ fused_mlp.defvjp(_fused_mlp_fwd, _fused_mlp_bwd)
 # into the same kernel, so HBM sees only per-RAY tensors: (R, 3) geometry in,
 # (R, 3)+(R, 1)+(R, S) composited results out.
 #
-# In-kernel layout bridges (Mosaic cannot reshape (R*S, 1) <-> (R, S)):
-# * selector matmul A (R, R*S), A[r, m] = [m//S == r]: expands per-ray rows
-#   to per-point rows (A^T x) and sums points back per ray (A x) on the MXU —
-#   0/1 selectors with exactly one hit per output element, so f32-exact;
+# In-kernel layout bridges (Mosaic cannot shape-cast (R*S, 1) <-> (R, S)
+# directly — the lane dim changes — but 3-D reshapes that preserve the lane
+# dim, (R*S, c) <-> (R, S, c), ARE supported):
+# * per-ray <-> per-point moves are sublane broadcasts / tree reductions on
+#   the VPU (:func:`_expand_rays` / :func:`_ray_sum` / :func:`_flat_to_2d` /
+#   :func:`_2d_to_flat`) — f32-exact and free of MXU passes. The first cut
+#   used 0/1 selector MATMULS for all of these; the r4 trace showed those
+#   skinny latency-bound passes (16 serial K-tiles at M=R for each
+#   K=R*S contraction) dominating the epilogue — the rewrite cut the bwd
+#   kernel 4.11 -> 3.62 and the fwd 1.78 -> 1.49 ms/step (r4 trace);
 # * per-ray cumprod as a triangular matmul in log space:
 #   T = exp(log(1-alpha+eps) @ U), U strictly upper-triangular ones — the
 #   (R, S) @ (S, S) dot replaces XLA's lane-serial scan;
-# * the weighted rgb sum as a block-diagonal matmul W_bd (R, R*S) @ rgb.
 #
-# The selector/mask/triangular constants are NOT iota-built per grid step:
-# the first cut did that and per-tile construction cost more than the fused
+# The mask/triangular constants are NOT iota-built per grid step: the first
+# cut did that and per-tile construction cost more than the fused
 # XLA ops it replaced (r3 trace: fwd 1.64->2.27 ms, bwd 3.88->5.00 ms,
 # bench 57.3k->55.0k rays/s). They are baked host-side (numpy) and passed
 # as constant-index-map inputs, so the pipeline fetches them into VMEM once
 # and every later grid step reuses the resident copy — the same mechanism
-# that keeps the weights VMEM-resident. z_flat (the (R*S, 1) view of z) is
-# likewise a free XLA reshape outside instead of an in-kernel bridge.
+# that keeps the weights VMEM-resident.
 # ---------------------------------------------------------------------------
 
 
 @functools.lru_cache(maxsize=8)
 def _composite_consts(R, S):
-    """Host-built constants: A (R, R*S) ray selector, mask (R*S, S) sample
-    selector, U (S, S) strictly-upper ones (exclusive log-cumsum), L (S, S)
-    strictly-lower ones (the backward's suffix sums)."""
+    """Host-built constants: mask (R*S, S) sample selector, U (S, S)
+    strictly-upper ones (exclusive log-cumsum), L (S, S) strictly-lower
+    ones (the backward's suffix sums)."""
     m = np.arange(R * S)
     s = np.arange(S)
-    A = (m[None, :] // S == np.arange(R)[:, None]).astype(np.float32)
     mask = (m[:, None] % S == s[None, :]).astype(np.float32)
     U = (s[:, None] < s[None, :]).astype(np.float32)
     L = (s[:, None] > s[None, :]).astype(np.float32)
-    return A, mask, U, L
+    return mask, U, L
+
+
+_N_CONSTS = 3
 
 
 def _const_specs(R, S):
-    """BlockSpecs for (A, mask, U, L): whole-array blocks at a constant
+    """BlockSpecs for (mask, U, L): whole-array blocks at a constant
     index, fetched once and VMEM-resident across grid steps."""
     zero = lambda i: (0, 0)  # noqa: E731
     return [
-        pl.BlockSpec((R, R * S), zero, memory_space=pltpu.VMEM),
         pl.BlockSpec((R * S, S), zero, memory_space=pltpu.VMEM),
         pl.BlockSpec((S, S), zero, memory_space=pltpu.VMEM),
         pl.BlockSpec((S, S), zero, memory_space=pltpu.VMEM),
     ]
-
-
-def _hi_dot(a, b, dims):
-    """Full-f32 (6-pass) dot — for the one epilogue dot where NEITHER
-    operand is bf16-exact (the weighted rgb sum)."""
-    return jax.lax.dot_general(
-        a, b, (dims, ((), ())),
-        precision=jax.lax.Precision.HIGHEST, preferred_element_type=_F32,
-    )
-
-
-def _pos_dot(sel, v, dims):
-    """Exact 3-pass selector dot (:func:`_split3`) for the POSITION chain
-    (z bridge, origin/ray expansion): positions feed sin(2^9 x), where
-    even a 2^-18 value error becomes ~1e-3 radians at the top frequency,
-    so these dots must match HIGHEST — which the 3-way split does at half
-    the MXU passes."""
-    sb = sel.astype(_BF)
-    return sum(_bf_dot(sb, p, dims) for p in _split3(v))
 
 
 def _bf_dot(a, b, dims):
@@ -562,13 +548,11 @@ def _split_hi_lo(x):
 
 
 def _sel_dot(sel, v, dims, sel_first=True):
-    """Two-pass f32 dot for the NON-position bridges (Mosaic has no
-    Precision.HIGH): ``sel`` entries are exactly bf16-representable (0/1
-    selectors, or 0/1 masks times bf16 values), so only ``v`` needs the
-    hi/lo split — sel@v = sel@v_hi + sel@v_lo, accurate to ~2^-18, far
-    below the bf16 MLP's own noise, at 1/3 the MXU passes of HIGHEST
-    (which dominated the first cut's epilogue cost on these skinny-M
-    dots). Position-chain dots stay HIGHEST (see :func:`_hi_dot`)."""
+    """Two-pass f32 dot for the triangular cumsum contractions (Mosaic has
+    no Precision.HIGH): ``sel`` entries are exactly bf16-representable (0/1
+    selectors), so only ``v`` needs the hi/lo split — sel@v = sel@v_hi +
+    sel@v_lo, accurate to ~2^-18, far below the bf16 MLP's own noise, at
+    1/3 the MXU passes of HIGHEST."""
     sb = sel.astype(_BF)
     v_hi, v_lo = _split_hi_lo(v)
     if sel_first:
@@ -576,32 +560,47 @@ def _sel_dot(sel, v, dims, sel_first=True):
     return _bf_dot(v_hi, sb, dims) + _bf_dot(v_lo, sb, dims)
 
 
-def _expand_rays(x, A, hi=False):
-    """(R, c) per-ray -> (R*S, c) per-point (one selector matmul)."""
-    if hi:
-        return _pos_dot(A, x, ((0,), (0,)))
-    return _sel_dot(A, x, ((0,), (0,)))
+# ---------------------------------------------------------------------------
+# Per-ray <-> per-point bridges (r4 rewrite). These relayouts were selector
+# MATMULS in the first cut (the (R*S, 1) column layout cannot be shape-cast
+# to (R, S) — Mosaic rejects relayouts that change the lane dim). But 3-D
+# reshapes that PRESERVE the lane dim ((R*S, c) <-> (R, S, c)) are supported,
+# so every bridge is now a sublane broadcast / tree reduction on the VPU:
+# EXACT in f32 (the old bf16-split dots matched HIGHEST only to ~1 ulp) and
+# free of the latency-bound skinny MXU passes that dominated the epilogue
+# (each K=R*S contraction cost 16 serial passes at M=R).
+# ---------------------------------------------------------------------------
 
 
-def _flat_to_2d(v, A, mask):
-    """(R*S, 1) per-point -> (R, S); single-hit selector sums. The masked
-    value operand is built per bf16 part (0/1 mask times bf16 is exact)."""
-    mb = mask.astype(_BF)
-    v_hi, v_lo = _split_hi_lo(v)
-    return (_bf_dot(A.astype(_BF), mb * v_hi, ((1,), (0,)))
-            + _bf_dot(A.astype(_BF), mb * v_lo, ((1,), (0,))))
+def _expand_rays(x, S):
+    """(R, c) per-ray -> (R*S, c) per-point: sublane broadcast + reshape."""
+    R, c = x.shape
+    return jnp.reshape(
+        jnp.broadcast_to(x[:, None, :], (R, S, c)), (R * S, c))
 
 
-def _2d_to_flat(w2, A, mask, hi=False):
-    """(R, S) -> (R*S, 1)."""
-    if hi:
-        u = _pos_dot(A, w2, ((0,), (0,)))     # (R*S, S): row m = w2[m//S, :]
-    else:
-        u = _sel_dot(A, w2, ((0,), (0,)))
+def _ray_sum(x, S):
+    """(R*S, c) per-point -> (R, c) per-ray sums (transpose of
+    :func:`_expand_rays`): full-f32 tree reduction over each ray's S rows."""
+    M, c = x.shape
+    return jnp.sum(jnp.reshape(x, (M // S, S, c)), axis=1)
+
+
+def _flat_to_2d(v, mask):
+    """(R*S, 1) per-point -> (R, S). Exact: the 0/1 mask keeps one lane per
+    row, the reduction sums S single-hit rows."""
+    M, S = mask.shape
+    return jnp.sum(jnp.reshape(v * mask, (M // S, S, S)), axis=1)
+
+
+def _2d_to_flat(w2, mask):
+    """(R, S) -> (R*S, 1). Exact single-hit selection."""
+    R, S = w2.shape
+    u = jnp.reshape(jnp.broadcast_to(w2[:, None, :], (R, S, S)), (R * S, S))
     return jnp.sum(u * mask, axis=1, keepdims=True)
 
 
-def _composite_fwd(rgb, d, z, deltas, A, mask, U, S, dist_alpha, white_bg,
+def _composite_fwd(rgb, d, z, deltas, mask, U, S, dist_alpha, white_bg,
                    heads=True):
     """In-kernel compositing: per-point (rgb (R*S,3), d (R*S,1)) + per-ray
     z/deltas (R, S) -> (rgb_values (R,3), dist (R,1), alpha (R,S), w (R,S),
@@ -612,7 +611,7 @@ def _composite_fwd(rgb, d, z, deltas, A, mask, U, S, dist_alpha, white_bg,
     (Measured r4: Mosaic does DCE the dead dots, so this is documentation,
     not a perf win — it keeps the recompute's cost model visible.)"""
     R = z.shape[0]
-    sig2d = _flat_to_2d(d, A, mask)
+    sig2d = _flat_to_2d(d, mask)
     if dist_alpha:
         lane = jax.lax.broadcasted_iota(jnp.int32, (R, S), 1)
         alpha = 1.0 - jnp.exp(-sig2d * deltas)
@@ -625,12 +624,9 @@ def _composite_fwd(rgb, d, z, deltas, A, mask, U, S, dist_alpha, white_bg,
     w = alpha * trans
     if not heads:
         return None, None, alpha, w, trans, sig2d
-    # weighted rgb sum as a block-diagonal matmul:
-    # w_cat[r, m] = w[r, m % S] (one mask contraction), zeroed off-block by A
-    w_cat = _sel_dot(mask, w, ((1,), (1,)), sel_first=False)   # (R, R*S)
-    # A * w_cat is NOT bf16-exact (it carries the weights), so this last
-    # skinny (R, R*S) @ (R*S, 3) dot stays HIGHEST — N=3 keeps it cheap
-    rgbv = _hi_dot(A * w_cat, rgb, ((1,), (0,)))        # (R, 3)
+    # weighted rgb sum: flatten w to per-point, multiply, per-ray tree sum
+    # (full f32 — the first cut's HIGHEST skinny dot, without the passes)
+    rgbv = _ray_sum(_2d_to_flat(w, mask) * rgb, S)      # (R, 3)
     dist = jnp.sum(w * z, axis=1, keepdims=True)        # (R, 1)
     if white_bg:
         acc = jnp.sum(w, axis=1, keepdims=True)
@@ -639,13 +635,13 @@ def _composite_fwd(rgb, d, z, deltas, A, mask, U, S, dist_alpha, white_bg,
 
 
 def _composite_bwd(g_rgbv, g_dist, g_alpha, rgb, z, deltas, alpha, w,
-                   trans, sig2d, A, mask, L, S, dist_alpha, white_bg):
+                   trans, sig2d, mask, L, S, dist_alpha, white_bg):
     """Cotangents of the composite: -> (g_rgb (R*S,3), g_d (R*S,1)) at the
     post-activation kernel heads."""
-    g_rgbv_flat = _expand_rays(g_rgbv, A)               # (R*S, 3)
+    g_rgbv_flat = _expand_rays(g_rgbv, S)               # (R*S, 3)
     # dL/dw
     t = jnp.sum(g_rgbv_flat * rgb, axis=1, keepdims=True)   # (R*S, 1)
-    gw = _flat_to_2d(t, A, mask)                        # (R, S)
+    gw = _flat_to_2d(t, mask)                           # (R, S)
     gw = gw + g_dist * z                                # dist = sum w*z
     if white_bg:
         gw = gw - jnp.sum(g_rgbv, axis=1, keepdims=True)
@@ -664,37 +660,37 @@ def _composite_bwd(g_rgbv, g_dist, g_alpha, rgb, z, deltas, alpha, w,
         )
     else:
         g_sig2d = ga
-    g_d = _2d_to_flat(g_sig2d, A, mask)                 # (R*S, 1)
-    g_rgb = _2d_to_flat(w, A, mask) * g_rgbv_flat       # (R*S, 3)
+    g_d = _2d_to_flat(g_sig2d, mask)                    # (R*S, 1)
+    g_rgb = _2d_to_flat(w, mask) * g_rgbv_flat          # (R*S, 3)
     return g_rgb, g_d
 
 
 def _make_fwd_composite_kernel(l_pos, l_dir, act, occ_alpha, S,
                                dist_alpha, white_bg):
     def kernel(o_ref, r_ref, dt_ref, z_ref, de_ref,
-               A_ref, mask_ref, U_ref, L_ref, *rest):
+               mask_ref, U_ref, L_ref, *rest):
         del L_ref  # forward only needs the upper-triangular cumsum
         wrefs = rest[:-3]
         rgbv_ref, dist_ref, alpha_ref = rest[-3:]
         W = _weights_dict([r[:] for r in wrefs])
-        A, mask = A_ref[:], mask_ref[:]
+        mask = mask_ref[:]
         # in-kernel (R, S) -> (R*S, 1) bridge: a (R*S, 1) HBM input would
         # occupy 1 of 128 lanes per tile (64x inflated traffic — measured
         # +0.9 ms/step as an input)
-        z_flat = _2d_to_flat(z_ref[:], A, mask, hi=True)
-        pts = (_expand_rays(o_ref[:], A, hi=True)
-               + _expand_rays(r_ref[:], A, hi=True) * z_flat)
+        z_flat = _2d_to_flat(z_ref[:], mask)
+        pts = (_expand_rays(o_ref[:], S)
+               + _expand_rays(r_ref[:], S) * z_flat)
         enc = _encode_fwd(pts, l_pos)[0].astype(_BF)
         # directions are constant along a ray: encode R rows, THEN expand
         # the encoded channels (rowwise encoding commutes with row
         # duplication) — S x fewer transcendentals and no frequency
         # amplification of the bridge error
         denc = _expand_rays(
-            _encode_fwd(dt_ref[:], l_dir)[0], A).astype(_BF)
+            _encode_fwd(dt_ref[:], l_dir)[0], S).astype(_BF)
         _, raw_sigma, raw_rgb = _fwd_chain(enc, denc, W)
         rgb, d = _act_fwd(raw_sigma, raw_rgb, act, occ_alpha)
         rgbv, dist, alpha, _, _, _ = _composite_fwd(
-            rgb, d, z_ref[:], de_ref[:], A, mask, U_ref[:], S,
+            rgb, d, z_ref[:], de_ref[:], mask, U_ref[:], S,
             dist_alpha, white_bg)
         rgbv_ref[:] = rgbv
         dist_ref[:] = dist
@@ -706,7 +702,7 @@ def _make_fwd_composite_kernel(l_pos, l_dir, act, occ_alpha, S,
 def _make_bwd_composite_kernel(l_pos, l_dir, act, occ_alpha, S,
                                dist_alpha, white_bg):
     def kernel(o_ref, r_ref, dt_ref, z_ref, de_ref,
-               A_ref, mask_ref, U_ref, L_ref,
+               mask_ref, U_ref, L_ref,
                grgbv_ref, gdist_ref, galpha_ref, *rest):
         wrefs = rest[:24]
         do_out, dr_out, ddt_out = rest[24], rest[25], rest[26]
@@ -720,24 +716,24 @@ def _make_bwd_composite_kernel(l_pos, l_dir, act, occ_alpha, S,
             for g in grads:
                 g[:] = jnp.zeros(g.shape, _F32)
 
-        A, mask = A_ref[:], mask_ref[:]
-        z_flat = _2d_to_flat(z_ref[:], A, mask, hi=True)
-        pts = (_expand_rays(o_ref[:], A, hi=True)
-               + _expand_rays(r_ref[:], A, hi=True) * z_flat)
+        mask = mask_ref[:]
+        z_flat = _2d_to_flat(z_ref[:], mask)
+        pts = (_expand_rays(o_ref[:], S)
+               + _expand_rays(r_ref[:], S) * z_flat)
         enc_f, sin_p, cos_p = _encode_fwd(pts, l_pos)
         # per-RAY dir encoding (see forward kernel); sin_d/cos_d stay (R, nd)
         denc_r, sin_d, cos_d = _encode_fwd(dt_ref[:], l_dir)
         enc = enc_f.astype(_BF)
-        denc = _expand_rays(denc_r, A).astype(_BF)
+        denc = _expand_rays(denc_r, S).astype(_BF)
         a, raw_sigma, raw_rgb = _fwd_chain(enc, denc, W)
         rgb, d = _act_fwd(raw_sigma, raw_rgb, act, occ_alpha)
         _, _, alpha, w, trans, sig2d = _composite_fwd(
-            rgb, d, z_ref[:], de_ref[:], A, mask, U_ref[:], S,
+            rgb, d, z_ref[:], de_ref[:], mask, U_ref[:], S,
             dist_alpha, white_bg, heads=False)
 
         g_rgb, g_sig = _composite_bwd(
             grgbv_ref[:], gdist_ref[:], galpha_ref[:], rgb, z_ref[:],
-            de_ref[:], alpha, w, trans, sig2d, A, mask, L_ref[:], S,
+            de_ref[:], alpha, w, trans, sig2d, mask, L_ref[:], S,
             dist_alpha, white_bg)
         g_rgb, g_sig = _act_bwd(raw_sigma, raw_rgb, g_rgb, g_sig, act,
                                 occ_alpha)
@@ -765,8 +761,7 @@ def _make_bwd_composite_kernel(l_pos, l_dir, act, occ_alpha, S,
         # contract the per-point denc cotangents to per-ray BEFORE the
         # encoding backward (the expansion's transpose), so the sin/cos
         # chain runs on (R, nd) instead of (R*S, nd)
-        d_dirs_r = _encode_bwd(
-            _sel_dot(A, g_denc, ((1,), (0,))), sin_d, cos_d, l_dir, 3)
+        d_dirs_r = _encode_bwd(_ray_sum(g_denc, S), sin_d, cos_d, l_dir, 3)
         acc("fc_feature", a["a13"], g_feat)
         acc("fc_density", a["a13"], g_sig)
         g_h = (
@@ -791,9 +786,9 @@ def _make_bwd_composite_kernel(l_pos, l_dir, act, occ_alpha, S,
         d_pts = _encode_bwd(g_enc + g_h, sin_p, cos_p, l_pos, 3)
 
         # chain through the in-kernel ray expansion:
-        # pts = A^T o + (A^T r) * z_flat ; dirs already per-ray
-        do_out[:] = _sel_dot(A, d_pts, ((1,), (0,)))
-        dr_out[:] = _sel_dot(A, d_pts * z_flat, ((1,), (0,)))
+        # pts = expand(o) + expand(r) * z_flat ; dirs already per-ray
+        do_out[:] = _ray_sum(d_pts, S)
+        dr_out[:] = _ray_sum(d_pts * z_flat, S)
         ddt_out[:] = d_dirs_r
 
     return kernel
@@ -915,7 +910,7 @@ def _fused_mlp_composite_bwd(l_pos, l_dir, act, occ_alpha, dist_alpha,
                                    dist_alpha, white_bg),
         grid=grid,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
-        in_specs=_composite_specs(R, S, shapes)[:9] + [
+        in_specs=_composite_specs(R, S, shapes)[:5 + _N_CONSTS] + [
             pl.BlockSpec((R, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((R, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((R, S), lambda i: (i, 0), memory_space=pltpu.VMEM),

@@ -174,8 +174,8 @@ class TestFusedMLP:
 
 class TestSplitDots:
     """The kernel's bf16 split-dot precision claims (mlp_kernel._split3 /
-    _pos_dot / _sel_dot): a 3-way bf16 split of f32 reconstructs to ~2^-27
-    relative, and a 3-pass split dot against a bf16-exact selector matches
+    _sel_dot): a 3-way bf16 split of f32 reconstructs to ~2^-27
+    relative, and the 3-pass split selector dot inside _encode_fwd matches
     a full-f32 HIGHEST dot to float roundoff."""
 
     def test_split3_reconstructs_f32(self, rng):
@@ -189,15 +189,22 @@ class TestSplitDots:
         err = np.abs(np.asarray(rec - v))
         assert err.max() <= np.abs(np.asarray(v)).max() * 2**-26
 
-    def test_pos_dot_matches_highest(self, rng):
+    def test_split3_selector_dot_matches_highest(self, rng):
+        """The _split3 3-pass dot against a bf16-exact selector (the
+        pattern _encode_fwd uses for the frequency expansion) matches a
+        full-f32 HIGHEST dot to float roundoff."""
         import nope_nerf_tpu.ops.pallas.mlp_kernel as mk
 
-        # selector: 0/1 with exactly one hit per column (the A expansion)
+        # selector: 0/1 with exactly one hit per column
         sel = np.zeros((8, 128), np.float32)
         sel[rng.integers(0, 8, size=128), np.arange(128)] = 1.0
         sel = jnp.asarray(sel)
         v = jnp.asarray(rng.normal(size=(8, 3)).astype(np.float32) * 3)
-        got = mk._pos_dot(sel, v, ((0,), (0,)))
+        got = sum(
+            jax.lax.dot_general(
+                sel.astype(jnp.bfloat16), p, ((((0,), (0,))), ((), ())),
+                preferred_element_type=jnp.float32)
+            for p in mk._split3(v))
         want = jax.lax.dot_general(
             sel, v, ((((0,), (0,))), ((), ())),
             precision=jax.lax.Precision.HIGHEST)
