@@ -797,9 +797,10 @@ def _make_bwd_composite_kernel(l_pos, l_dir, act, occ_alpha, S,
 def _rays_per_block(S, target=1024):
     """Rays per grid step: R*S ~ target points, R a multiple of 8 (f32
     sublane tile) and at least 8. target=2048 was measured WORSE (bwd
-    5.43 vs 5.00 ms/step): the epilogue intermediates scale with the tile
-    and the bigger recompute loses more to VMEM pressure than the halved
-    tile count saves."""
+    5.43 vs 5.00 ms/step pre-bridge-rewrite; re-measured after the r4 VPU
+    bridge rewrite: 4.22 vs 3.62 — the conclusion holds): the epilogue
+    intermediates scale with the tile and the bigger recompute loses more
+    to VMEM pressure than the halved tile count saves."""
     return max(8, (target // S) // 8 * 8)
 
 
