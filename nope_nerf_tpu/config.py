@@ -154,10 +154,11 @@ def check_supported(cfg) -> None:
                 stacklevel=2,
             )
     cm = tpu.get("chamfer_mode", "exact")
-    if cm not in ("exact", "grid"):
+    if cm not in ("exact", "grid", "auto"):
         raise ValueError(
             f"tpu.chamfer_mode={cm!r}: must be 'exact' (reference argmin "
-            "semantics) or 'grid' (approximate Morton-window NN)"
+            "semantics), 'grid' (approximate Morton-window NN) or 'auto' "
+            "(exact at Tanks scale, grid above the measured crossover)"
         )
     # The reference CRASHES on depth_consistency_weight != 0: its
     # `model/losses.py:185-186` calls get_depth_consistency_loss(None, None)

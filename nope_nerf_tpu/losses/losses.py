@@ -184,6 +184,14 @@ def total_loss(
     else:
         loss_dist_1st = loss_dist_2nd = zero
     if X is not None:
+        from ..ops.chamfer import resolve_chamfer_mode
+
+        # 'auto' resolves from the static cloud sizes at trace time: exact
+        # at the reference's Tanks scale, grid above the measured crossover
+        # (ops/chamfer.py:resolve_chamfer_mode)
+        chamfer_mode = resolve_chamfer_mode(
+            chamfer_mode, X.shape[0], Y.shape[0]
+        )
         if chamfer_mode == "grid":
             # opt-in approximate NN (tpu.chamfer_mode: grid): Morton-window
             # candidate search, O(S·window) instead of O(S·D). Divergence

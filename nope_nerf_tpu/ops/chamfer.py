@@ -22,6 +22,31 @@ from jax import lax
 
 _BIG = 1e10
 
+# Exact-vs-grid crossover for ``tpu.chamfer_mode: auto``. Exact cost scales
+# with S*D (dense VPU sweeps, `ops/pallas/chamfer_kernel.py`), the
+# Morton-window mode roughly with S+D (merge-rank sort + fixed windows).
+# r4 v5e measurements (standalone fwd, equal clouds): 32,400² exact 8.7 ms
+# vs grid 10.1 ms; 64,800² 26.7 vs 18.3; 129,600² 96.3 vs 35.9. Fitting
+# exact ≈ 8.7·(S·D/32400²) and grid ≈ 10.1·((S+D)/64800) puts the break-even
+# at sqrt(S·D) ≈ 37.6k points, i.e. S·D ≈ 1.41e9.
+_AUTO_GRID_THRESHOLD = 1.41e9
+
+
+def resolve_chamfer_mode(mode: str, n_x: int, n_y: int) -> str:
+    """Resolve ``'auto'`` to ``'exact'`` or ``'grid'`` from static cloud sizes.
+
+    ``n_x``/``n_y`` are trace-time constants ((h/pc_ratio)·(w/pc_ratio) per
+    cloud), so the choice is made once per compilation, never per step. At
+    the reference's Tanks defaults (32,400² pairs) auto picks ``exact`` —
+    bitwise reference argmin semantics; it switches to the approximate
+    Morton-window mode only above ~2× that scale (pc_ratio < 4 or larger
+    images), where grid wins and keeps growing linearly instead of
+    quadratically (BASELINE.md r4 table).
+    """
+    if mode != "auto":
+        return mode
+    return "grid" if float(n_x) * float(n_y) > _AUTO_GRID_THRESHOLD else "exact"
+
 
 def _pad_to(x, n, fill=0.0):
     pad = n - x.shape[0]
@@ -150,11 +175,12 @@ def nearest_idx_window(X, Y, window: int = 512, block: int = 128):
     insertion rank, with the window shared per ``block`` of consecutive
     queries so the candidate slab is one contiguous read and the score tile
     one batched MXU matmul — O(S·window) work instead of the exact kernel's
-    O(S·D) VPU passes (`ops/pallas/chamfer_kernel.py`, 9.2 ms/step at Tanks
-    scale). Measured (r3, v5e): 10.8 vs exact 12.2 ms at 32,400² growing to
-    39.5 vs 143.9 ms at 129,600² — the approximate mode wins at every scale
-    and the gap widens quadratically.  Z-order discontinuities can miss the
-    true NN for a small
+    O(S·D) VPU passes (`ops/pallas/chamfer_kernel.py`). Measured (r4, v5e,
+    standalone): 10.1 vs the v4 exact kernel's 8.7 ms at 32,400² (exact wins
+    at Tanks defaults), 18.3 vs 26.7 at 64,800², 35.9 vs 96.3 at 129,600² —
+    grid wins above the ~37.6k-point crossover and scales linearly where
+    exact grows quadratically (``chamfer_mode: auto`` picks accordingly).
+    Z-order discontinuities can miss the true NN for a small
     fraction of points (measured ~1–3% on depth-map surface clouds, with the
     found neighbour still nearby), which perturbs the Chamfer mean by <1%%;
     convergence parity vs exact mode is pinned by

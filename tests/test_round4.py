@@ -94,6 +94,70 @@ class TestParityProfile:
         assert len(psnrs) == 4
 
 
+class TestChamferAutoMode:
+    """tpu.chamfer_mode: auto — trace-time selection between the exact
+    kernel and the Morton-window mode from the static cloud sizes."""
+
+    def test_resolution_by_size(self):
+        from nope_nerf_tpu.ops.chamfer import resolve_chamfer_mode
+
+        # Tanks defaults (pc_ratio 4 at 540x960): exact — reference argmin
+        assert resolve_chamfer_mode("auto", 32400, 32400) == "exact"
+        # 2x Tanks scale: grid wins (BASELINE.md r4: 18.3 vs 26.7 ms)
+        assert resolve_chamfer_mode("auto", 64800, 64800) == "grid"
+        # asymmetric clouds use the product (cost model is S*D)
+        assert resolve_chamfer_mode("auto", 16200, 64800) == "exact"
+        # explicit modes pass through untouched at any size
+        assert resolve_chamfer_mode("exact", 10 ** 6, 10 ** 6) == "exact"
+        assert resolve_chamfer_mode("grid", 8, 8) == "grid"
+
+    def test_config_accepts_auto(self):
+        from nope_nerf_tpu.config import check_supported
+
+        check_supported({"tpu": {"chamfer_mode": "auto"}})
+        with pytest.raises(ValueError, match="chamfer_mode"):
+            check_supported({"tpu": {"chamfer_mode": "morton"}})
+
+    def test_auto_matches_exact_below_crossover(self):
+        """Below the crossover, auto's loss is bitwise the exact mode's."""
+        import jax.numpy as jnp
+
+        from nope_nerf_tpu.losses.losses import total_loss
+
+        rng = np.random.RandomState(0)
+        X = jnp.asarray(rng.randn(96, 3).astype(np.float32))
+        Y = jnp.asarray(rng.randn(80, 3).astype(np.float32))
+        weights = {"rgb_weight": 0.0, "depth_weight": 0.0, "pc_weight": 1.0,
+                   "rgb_s_weight": 0.0, "depth_consistency_weight": 0.0,
+                   "weight_dist_1st_loss": 0.0, "weight_dist_2nd_loss": 0.0}
+        kw = dict(X=X, Y=Y)
+        l_auto = total_loss(weights, chamfer_mode="auto", **kw)
+        l_exact = total_loss(weights, chamfer_mode="exact", **kw)
+        np.testing.assert_array_equal(np.asarray(l_auto["loss"]),
+                                      np.asarray(l_exact["loss"]))
+
+    def test_auto_takes_grid_above_crossover(self, monkeypatch):
+        """Above the (monkeypatched) crossover, auto's loss is bitwise the
+        grid mode's — proving total_loss routes through the resolver."""
+        import jax.numpy as jnp
+
+        import nope_nerf_tpu.ops.chamfer as chamfer_mod
+        from nope_nerf_tpu.losses.losses import total_loss
+
+        monkeypatch.setattr(chamfer_mod, "_AUTO_GRID_THRESHOLD", 100.0)
+        rng = np.random.RandomState(1)
+        X = jnp.asarray(rng.randn(96, 3).astype(np.float32))
+        Y = jnp.asarray(rng.randn(80, 3).astype(np.float32))
+        weights = {"rgb_weight": 0.0, "depth_weight": 0.0, "pc_weight": 1.0,
+                   "rgb_s_weight": 0.0, "depth_consistency_weight": 0.0,
+                   "weight_dist_1st_loss": 0.0, "weight_dist_2nd_loss": 0.0}
+        kw = dict(X=X, Y=Y, chamfer_window=32)
+        l_auto = total_loss(weights, chamfer_mode="auto", **kw)
+        l_grid = total_loss(weights, chamfer_mode="grid", **kw)
+        np.testing.assert_array_equal(np.asarray(l_auto["loss"]),
+                                      np.asarray(l_grid["loss"]))
+
+
 class TestThroughputMultiplier:
     def test_rays_per_step_counts_k_batches(self, tmp_path, monkeypatch):
         """VERDICT-r3 item 7: with rays_per_step_multiplier k the production
