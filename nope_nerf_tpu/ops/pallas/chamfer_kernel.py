@@ -46,7 +46,13 @@ K=3 is systolic-latency bound — the MXU emits a 128x128 output tile per pass
 regardless of K, so the "free FLOPs" formulation ran slower than the VPU
 broadcast (measured again r4: score-form dist was 9.8 vs 9.7 ms — the
 distance passes are NOT the bottleneck; and subtracting near-equal products
-also loses precision).
+also loses precision). A *VPU* score-form was also measured (r4): hoisting
+``rr`` and the pre-scaled ``−2·r`` columns per grid step and computing the
+tile as ``rr + Σ m_k·q_k`` — nominally 3 broadcasts vs this form's 6 — ran
+10.9 vs 9.7 ms at 32,400² and 118 vs 96 ms at 129,600²: Mosaic does not fuse
+the multiply-add chain into fmas, and a (TILE,1)×(1,CHUNK) broadcast
+*multiply* is no cheaper than a broadcast subtract, so the "fewer ops"
+accounting is wrong on this hardware. Keep the direct-distance form.
 
 Validity and padding cost ZERO in-kernel work: invalid/padded X points are
 moved to the (+1e5,...) sentinel and Y points to (−1e5,...) on the host side,
