@@ -188,9 +188,11 @@ def total_loss(
 
         # 'auto' resolves from the static cloud sizes at trace time: exact
         # at the reference's Tanks scale, grid above the measured crossover
-        # (ops/chamfer.py:resolve_chamfer_mode)
+        # (ops/chamfer.py:resolve_chamfer_mode); a ray mesh shards the
+        # exact kernel's quadratic work, scaling the crossover by its size
         chamfer_mode = resolve_chamfer_mode(
-            chamfer_mode, X.shape[0], Y.shape[0]
+            chamfer_mode, X.shape[0], Y.shape[0],
+            n_devices=mesh.devices.size if mesh is not None else 1,
         )
         if chamfer_mode == "grid":
             # opt-in approximate NN (tpu.chamfer_mode: grid): Morton-window

@@ -32,7 +32,8 @@ _BIG = 1e10
 _AUTO_GRID_THRESHOLD = 1.41e9
 
 
-def resolve_chamfer_mode(mode: str, n_x: int, n_y: int) -> str:
+def resolve_chamfer_mode(mode: str, n_x: int, n_y: int,
+                         n_devices: int = 1) -> str:
     """Resolve ``'auto'`` to ``'exact'`` or ``'grid'`` from static cloud sizes.
 
     ``n_x``/``n_y`` are trace-time constants ((h/pc_ratio)·(w/pc_ratio) per
@@ -42,10 +43,17 @@ def resolve_chamfer_mode(mode: str, n_x: int, n_y: int) -> str:
     Morton-window mode only above ~2× that scale (pc_ratio < 4 or larger
     images), where grid wins and keeps growing linearly instead of
     quadratically (BASELINE.md r4 table).
+
+    Under an ``n_devices`` ray mesh the exact kernel runs per-shard
+    (each device sweeps S/N queries against the gathered other cloud —
+    `ops/pallas/chamfer_kernel.py:chamfer_loss_pallas_sharded`), dividing
+    the quadratic work by N while the grid mode's sort stays unsharded, so
+    the crossover scales with the mesh size.
     """
     if mode != "auto":
         return mode
-    return "grid" if float(n_x) * float(n_y) > _AUTO_GRID_THRESHOLD else "exact"
+    thresh = _AUTO_GRID_THRESHOLD * max(int(n_devices), 1)
+    return "grid" if float(n_x) * float(n_y) > thresh else "exact"
 
 
 def _pad_to(x, n, fill=0.0):

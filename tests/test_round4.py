@@ -110,6 +110,12 @@ class TestChamferAutoMode:
         # explicit modes pass through untouched at any size
         assert resolve_chamfer_mode("exact", 10 ** 6, 10 ** 6) == "exact"
         assert resolve_chamfer_mode("grid", 8, 8) == "grid"
+        # a ray mesh shards the exact kernel's quadratic work: the
+        # crossover scales with the device count
+        assert resolve_chamfer_mode("auto", 64800, 64800, n_devices=8) == \
+            "exact"
+        assert resolve_chamfer_mode("auto", 259200, 259200, n_devices=8) == \
+            "grid"
 
     def test_config_accepts_auto(self):
         from nope_nerf_tpu.config import check_supported
