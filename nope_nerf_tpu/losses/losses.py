@@ -50,15 +50,24 @@ def depth_loss_l1(depth_pred, depth_gt, valid_mask):
     return num / den
 
 
+def _torch_median(x):
+    """torch.median semantics: the LOWER of the two middle elements for
+    even-length input (jnp.median averages them — a real value divergence
+    at the even ray counts every config uses; found by the executed A/B
+    harness, tests/test_reference_parity.py)."""
+    flat = x.reshape(-1)
+    return jnp.sort(flat)[(flat.shape[0] - 1) // 2]
+
+
 def depth_loss_dpt(pred_depth, gt_depth, weight=None):
     """Scale/shift-invariant depth loss (`model/losses.py:34-57`).
 
     Median-centred, mean-abs-scaled normalisation of both maps, then MSE
     (optionally weighted).
     """
-    t_pred = jnp.median(pred_depth)
+    t_pred = _torch_median(pred_depth)
     s_pred = jnp.mean(jnp.abs(pred_depth - t_pred))
-    t_gt = jnp.median(gt_depth)
+    t_gt = _torch_median(gt_depth)
     s_gt = jnp.mean(jnp.abs(gt_depth - t_gt))
     pred_n = (pred_depth - t_pred) / s_pred
     gt_n = (gt_depth - t_gt) / s_gt

@@ -165,11 +165,19 @@ def compute_loss(
     # ---- ray sampling + render (per frame) ------------------------------
     key_rays, key_noise = jax.random.split(rng)
     fast_sampling = cfg.get("tpu", {}).get("fast_ray_sampling", True)
+    # deterministic z sampling for A/B parity harnesses (the reference's
+    # stratified jitter `model/rendering.py:186-190` draws from torch's RNG,
+    # so exact-value comparison requires disabling it on both sides)
+    add_noise = cfg.get("tpu", {}).get("render_add_noise", True)
 
     def _sample_and_render(f_idx, key_r, key_n):
         img_f = batch["imgs"][f_idx]
         depth_f = batch["dpts"][f_idx]
-        if fast_sampling:
+        if "ray_idx" in batch:
+            # injected ray indices (parity/debug): replaces the random draw
+            # with the exact indices the reference's randperm produced
+            r_idx = batch["ray_idx"]
+        elif fast_sampling:
             # with-replacement sampling: E[collisions] = n²/2HW ≈ 1 per step
             # at paper scale — statistically immaterial, and it avoids the
             # 518k-key sort a without-replacement permutation costs on TPU
@@ -225,7 +233,7 @@ def compute_loss(
                                        tcfg["shift_first"])
         out_f = render_rays(
             params["nerf"], p, d_rays, camera_mat, world_f, scale_mat,
-            render_cfg, rng=key_n, add_noise=True, eval_mode=False,
+            render_cfg, rng=key_n, add_noise=add_noise, eval_mode=False,
         )
         return rgb_gt_f, out_f
 

@@ -1,0 +1,388 @@
+"""Execute the ACTUAL reference implementation on CPU for A/B parity.
+
+Every parity claim in this repo used to rest on *transcription* — reading
+`/root/reference/model/*.py` and re-deriving the math. This module turns that
+into *executed evidence*: it imports the reference's own ``Trainer`` /
+``Renderer`` / ``Loss`` stack (`model/training.py:14-378`,
+`model/rendering.py:36-167`, `model/losses.py:16-218`) under torch-CPU,
+shims the ~10 hard-coded ``.cuda()`` sites (`model/losses.py:84,162-194,254`,
+`model/rendering.py:216,248,451-452`), and runs its real ``compute_loss`` /
+``train_step`` on in-memory synthetic scenes so tests can assert per-term
+loss and multi-step optimization-trajectory parity against this framework.
+
+Stochasticity control (both sides must see identical draws):
+
+* ray sampling — the reference draws ``torch.randperm(h*w)[:n]``
+  (`model/training.py:257`); :func:`run_reference_steps` monkeypatches
+  ``torch.randperm`` to replay caller-supplied index arrays, and the JAX side
+  injects the same arrays via the trainer's ``batch['ray_idx']`` override;
+* stratified z jitter — ``torch.rand`` inside ``sample_uniform``
+  (`model/rendering.py:186-190`); disabled on both sides
+  (``Renderer.forward`` wrapped with add_noise=False here,
+  ``tpu.render_add_noise: False`` there). The density-head ``noise`` kwarg is
+  accepted but unused by the reference (`model/official_nerf.py:69-76`), so
+  nothing else is stochastic in the loss path.
+
+The DPT package is stubbed (timm is absent and the frozen depth net is not
+part of the loss path — training configs set ``depth.type: None`` and read
+precomputed npz priors, `configs/Tanks/Ignatius.yaml:1-2`).
+"""
+from __future__ import annotations
+
+import os
+import sys
+import types
+
+import numpy as np
+
+REFERENCE_DIR = os.environ.get("NOPE_NERF_REFERENCE", "/root/reference")
+
+_ns = None
+
+
+def reference_available() -> bool:
+    return os.path.isdir(os.path.join(REFERENCE_DIR, "model"))
+
+
+def _is_cuda(dev) -> bool:
+    return dev is not None and "cuda" in str(dev)
+
+
+def load_reference():
+    """Import the reference modules with CPU shims; returns a namespace.
+
+    Idempotent (module-level cache) — the torch monkeypatches are
+    process-global but harmless on a CPU-only torch build: ``.cuda()``
+    becomes identity and ``Module.to('cuda')`` is rewritten to cpu.
+    """
+    global _ns
+    if _ns is not None:
+        return _ns
+    if not reference_available():
+        raise RuntimeError(f"reference not found at {REFERENCE_DIR}")
+    import torch
+
+    # ---- CPU shims for the reference's hard-coded CUDA usage ----------
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    torch.nn.Module.cuda = lambda self, *a, **k: self
+    _orig_to = torch.nn.Module.to
+
+    def _to(self, *args, **kwargs):
+        args = tuple("cpu" if _is_cuda(a) else a for a in args)
+        if _is_cuda(kwargs.get("device")):
+            kwargs["device"] = "cpu"
+        return _orig_to(self, *args, **kwargs)
+
+    torch.nn.Module.to = _to
+
+    # ---- stub the DPT package (model/config.py imports it at top level) --
+    if "DPT" not in sys.modules:
+        dpt_pkg = types.ModuleType("DPT")
+        dpt_sub = types.ModuleType("DPT.dpt")
+        dpt_models = types.ModuleType("DPT.dpt.models")
+
+        class DPTDepthModel:  # noqa: D401 - stub
+            def __init__(self, *a, **k):
+                raise RuntimeError(
+                    "DPT stubbed for parity execution (timm not installed); "
+                    "use nope_nerf_tpu.models.dpt instead"
+                )
+
+        dpt_models.DPTDepthModel = DPTDepthModel
+        dpt_pkg.dpt = dpt_sub
+        dpt_sub.models = dpt_models
+        sys.modules["DPT"] = dpt_pkg
+        sys.modules["DPT.dpt"] = dpt_sub
+        sys.modules["DPT.dpt.models"] = dpt_models
+
+    # APPEND (not prepend): the repo root also has top-level `evaluation/`
+    # `vis/` `preprocess/` packages; only `model` / `dataloading` etc. —
+    # names unique to the reference — should resolve from REFERENCE_DIR.
+    if REFERENCE_DIR not in sys.path:
+        sys.path.append(REFERENCE_DIR)
+
+    import model.common as common
+
+    # `transform_to_world` defaults device=torch.device("cuda")
+    # (`model/common.py:113`); the default identity world/scale mats are
+    # constructed ON that device when the trainer's point-cloud branch calls
+    # it 3-arg (`model/training.py:322-323`). Rewrite the default in place —
+    # the function object is shared with `model.training`'s from-import.
+    common.transform_to_world.__defaults__ = tuple(
+        torch.device("cpu") if _is_cuda(d) else d
+        for d in common.transform_to_world.__defaults__
+    )
+
+    import model.distortions as distortions
+    import model.intrinsics as intrinsics
+    import model.losses as losses
+    import model.network as network
+    import model.official_nerf as official_nerf
+    import model.poses as poses
+    import model.rendering as rendering
+    import model.training as training
+
+    _ns = types.SimpleNamespace(
+        torch=torch,
+        common=common,
+        losses=losses,
+        network=network,
+        official_nerf=official_nerf,
+        poses=poses,
+        intrinsics=intrinsics,
+        distortions=distortions,
+        rendering=rendering,
+        training=training,
+    )
+    return _ns
+
+
+def build_reference_stack(cfg, scene, *, seed=42, perturb=0.0,
+                          deterministic_z=True):
+    """Construct the reference's full training stack on CPU.
+
+    Mirrors `train.py:48-160`: OfficialStaticNerf + Renderer + nope_nerf
+    wrapper, LearnPose/LearnFocal/Learn_Distortion (gt-focal init
+    ``[K00, -K11]``, `train.py:136`), four Adams, Trainer.
+
+    Args:
+        cfg: THIS framework's full config dict (schema-compatible with the
+            reference's by design — §5.6).
+        scene: a SyntheticScene / SceneData duck-type.
+        perturb: std of a gaussian perturbation applied to the pose/
+            distortion/focal parameters (zero-init poses make the dist
+            losses non-differentiable in torch — `model/losses.py:103-112`
+            norm at 0 — and leave swap/clamp branches unexercised).
+        deterministic_z: wrap ``Renderer.forward`` to force add_noise=False
+            (see module docstring).
+    """
+    ref = load_reference()
+    torch = ref.torch
+    torch.manual_seed(seed)
+    device = torch.device("cpu")
+
+    field = ref.official_nerf.OfficialStaticNerf(cfg)
+    renderer = ref.rendering.Renderer(field, cfg["rendering"], device=device)
+    if deterministic_z:
+        inner = renderer.forward
+
+        def _det_forward(pixels, depth, camera_mat, world_mat, scale_mat,
+                         technique, add_noise=True, eval_=False, it=1000000):
+            return inner(pixels, depth, camera_mat, world_mat, scale_mat,
+                         technique, add_noise=False, eval_=eval_, it=it)
+
+        renderer.forward = _det_forward
+    net = ref.network.nope_nerf(cfg, renderer, None, device)
+
+    n_views = scene.N_imgs
+    pcfg = cfg["pose"]
+    init_pose = None
+    if pcfg["learn_pose"] and pcfg["init_pose"]:
+        src = (scene.c2ws if pcfg["init_pose_type"] == "gt"
+               else scene.c2ws_colmap)
+        init_pose = torch.tensor(np.asarray(src), dtype=torch.float32)
+    pose_net = ref.poses.LearnPose(
+        n_views, pcfg["learn_R"], pcfg["learn_t"], cfg, init_c2w=init_pose
+    )
+    # honor learn_focal: with it off the reference's Trainer takes
+    # optimizer_focal=None and falls back to camera_mat_gt
+    # (`model/training.py:250-253`) — constructing a (perturbed) focal net
+    # unconditionally would silently diverge from a gt-K run on our side
+    if pcfg["learn_focal"]:
+        if pcfg["init_focal_type"] == "gt":
+            init_focal = [float(scene.K[0, 0]), float(-scene.K[1, 1])]
+        else:
+            init_focal = None
+        focal_net = ref.intrinsics.LearnFocal(
+            pcfg["update_focal"], pcfg["fx_only"], order=pcfg["focal_order"],
+            init_focal=init_focal,
+        )
+    else:
+        focal_net = None
+    dist_net = ref.distortions.Learn_Distortion(
+        n_views, cfg["distortion"]["learn_scale"],
+        cfg["distortion"]["learn_shift"], cfg,
+    )
+
+    if perturb:
+        g = torch.Generator().manual_seed(seed + 1)
+        with torch.no_grad():
+            pose_net.r.add_(perturb * torch.randn(pose_net.r.shape,
+                                                  generator=g))
+            pose_net.t.add_(perturb * torch.randn(pose_net.t.shape,
+                                                  generator=g))
+            dist_net.global_scales.add_(
+                perturb * torch.randn(dist_net.global_scales.shape,
+                                      generator=g))
+            dist_net.global_shifts.add_(
+                perturb * torch.randn(dist_net.global_shifts.shape,
+                                      generator=g))
+            if focal_net is not None:
+                focal_net.fx.add_(perturb * torch.randn((), generator=g))
+                if hasattr(focal_net, "fy"):
+                    focal_net.fy.add_(
+                        perturb * torch.randn((), generator=g))
+
+    tcfg = cfg["training"]
+    import torch.optim as optim
+
+    optimizer = optim.Adam(net.parameters(), lr=tcfg["learning_rate"],
+                           weight_decay=tcfg["weight_decay"])
+    optimizer_pose = optim.Adam(pose_net.parameters(), lr=tcfg["pose_lr"])
+    optimizer_focal = (
+        optim.Adam(focal_net.parameters(), lr=tcfg["focal_lr"])
+        if focal_net is not None else None
+    )
+    optimizer_distortion = optim.Adam(dist_net.parameters(),
+                                      lr=tcfg["distortion_lr"])
+    trainer = ref.training.Trainer(
+        net, optimizer, tcfg, device=device,
+        optimizer_pose=optimizer_pose, pose_param_net=pose_net,
+        optimizer_focal=optimizer_focal, focal_net=focal_net,
+        optimizer_distortion=optimizer_distortion, distortion_net=dist_net,
+    )
+    return types.SimpleNamespace(
+        trainer=trainer, net=net, field=field, pose_net=pose_net,
+        focal_net=focal_net, dist_net=dist_net, renderer=renderer,
+        optimizers=(optimizer, optimizer_pose, optimizer_focal,
+                    optimizer_distortion),
+    )
+
+
+def stack_params_to_jax(stack, cfg, scene=None):
+    """Reference module state -> this framework's 4-group param pytree.
+
+    Uses the same layer mapping as tools/convert_reference_ckpt.py (torch
+    Linear (out, in) weights transposed to (in, out)).  When the stack has
+    no focal net (learn_focal False), ``scene`` supplies the gt intrinsics
+    for the focal group our ``build_params`` always carries."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from convert_reference_ckpt import _NERF_LAYER_MAP
+
+    sd = stack.field.state_dict()
+    nerf = {
+        ours: {
+            "w": np.asarray(sd[f"{ref}.weight"].detach()).T.copy(),
+            "b": np.asarray(sd[f"{ref}.bias"].detach()).copy(),
+        }
+        for ref, ours in _NERF_LAYER_MAP.items()
+    }
+    params = {
+        "nerf": nerf,
+        "pose": {
+            "r": np.asarray(stack.pose_net.r.detach()).copy(),
+            "t": np.asarray(stack.pose_net.t.detach()).copy(),
+        },
+        "distortion": {
+            "scales": np.asarray(
+                stack.dist_net.global_scales.detach()).copy(),
+            "shifts": np.asarray(
+                stack.dist_net.global_shifts.detach()).copy(),
+        },
+    }
+    if stack.focal_net is not None:
+        params["focal"] = {
+            "fx": np.asarray(stack.focal_net.fx.detach()).copy()}
+        if hasattr(stack.focal_net, "fy"):
+            params["focal"]["fy"] = np.asarray(
+                stack.focal_net.fy.detach()).copy()
+    else:
+        from nope_nerf_tpu.models.intrinsics import init_focal_params
+
+        init_focal = None
+        if cfg["pose"]["init_focal_type"] == "gt" and scene is not None:
+            init_focal = [scene.K[0, 0], -scene.K[1, 1]]
+        params["focal"] = init_focal_params(
+            cfg["pose"]["fx_only"], cfg["pose"]["focal_order"], init_focal)
+    return params
+
+
+def make_torch_batch(scene, idx, ref_idx):
+    """A DataField-shaped batch dict (`dataloading/dataset.py:204-226`)."""
+    ref = load_reference()
+    torch = ref.torch
+    img = torch.tensor(scene.imgs[idx]).permute(2, 0, 1).unsqueeze(0)
+    dpt = torch.tensor(scene.dpt_depth[idx]).unsqueeze(0)
+    ref_img = torch.tensor(scene.imgs[ref_idx]).permute(2, 0, 1).unsqueeze(0)
+    ref_dpt = torch.tensor(scene.dpt_depth[ref_idx]).unsqueeze(0)
+    return {
+        "img": img,
+        "img.idx": torch.tensor(idx),
+        "img.dpt": dpt,
+        "img.camera_mat": torch.tensor(scene.K).unsqueeze(0),
+        "img.scale_mat": torch.tensor(scene.scale_mat).unsqueeze(0),
+        "img.ref_imgs": ref_img,
+        "img.ref_dpts": ref_dpt,
+        "img.ref_idxs": torch.tensor(ref_idx),
+    }
+
+
+class replay_randperm:
+    """Context manager: ``torch.randperm`` replays the given index arrays.
+
+    The reference samples rays as ``randperm(h*w)[:n]``
+    (`model/training.py:257`); replaying full permutations whose first n
+    entries are the target indices makes its ray draw exactly controllable.
+    """
+
+    def __init__(self, perms):
+        self.perms = [np.asarray(p) for p in perms]
+        self.calls = 0
+
+    def __enter__(self):
+        ref = load_reference()
+        torch = ref.torch
+        self._orig = torch.randperm
+        outer = self
+
+        def fake_randperm(n, *a, **k):
+            p = outer.perms[outer.calls % len(outer.perms)]
+            outer.calls += 1
+            full = np.concatenate(
+                [p, np.setdiff1d(np.arange(n), p, assume_unique=False)]
+            )
+            assert full.shape[0] == n, (full.shape, n)
+            return torch.tensor(full, dtype=torch.long)
+
+        torch.randperm = fake_randperm
+        return self
+
+    def __exit__(self, *exc):
+        load_reference().torch.randperm = self._orig
+        return False
+
+
+def reference_loss_dict(stack, batch, *, it, epoch, scheduling_start,
+                        ray_idx=None):
+    """One ``Trainer.compute_loss`` forward; returns {term: float}."""
+    ref = load_reference()
+    torch = ref.torch
+
+    def _run():
+        with torch.no_grad():
+            ld = stack.trainer.compute_loss(
+                batch, it=it, epoch=epoch, scheduling_start=scheduling_start
+            )
+        return {k: float(v) for k, v in ld.items()
+                if hasattr(v, "numel") and v.numel() == 1}
+
+    if ray_idx is not None:
+        with replay_randperm([ray_idx]):
+            return _run()
+    return _run()
+
+
+def run_reference_steps(stack, scene, *, frame_seq, ref_seq, ray_perms,
+                        epoch_seq, scheduling_start, it0=1):
+    """N real ``Trainer.train_step`` calls; returns per-step loss dicts."""
+    out = []
+    with replay_randperm(ray_perms) as rp:
+        for i, (idx, ref_idx) in enumerate(zip(frame_seq, ref_seq)):
+            batch = make_torch_batch(scene, int(idx), int(ref_idx))
+            ld = stack.trainer.train_step(
+                batch, it0 + i, int(epoch_seq[i]), scheduling_start, None
+            )
+            out.append({k: float(v) for k, v in ld.items()
+                        if hasattr(v, "numel") and v.numel() == 1})
+    assert rp.calls == len(frame_seq)
+    return out
