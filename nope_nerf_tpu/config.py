@@ -154,11 +154,13 @@ def check_supported(cfg) -> None:
                 stacklevel=2,
             )
     cm = tpu.get("chamfer_mode", "exact")
-    if cm not in ("exact", "grid", "auto"):
+    if cm not in ("exact", "band", "grid", "auto"):
         raise ValueError(
             f"tpu.chamfer_mode={cm!r}: must be 'exact' (reference argmin "
-            "semantics), 'grid' (approximate Morton-window NN) or 'auto' "
-            "(exact at Tanks scale, grid above the measured crossover)"
+            "semantics), 'band' (projection-guided banded NN — fastest on "
+            "the training clouds, <=2% argmin deviation), 'grid' "
+            "(approximate Morton-window NN) or 'auto' (band when hints "
+            "exist, else cheaper of exact/grid by fitted cost models)"
         )
     # The reference CRASHES on depth_consistency_weight != 0: its
     # `model/losses.py:185-186` calls get_depth_consistency_loss(None, None)

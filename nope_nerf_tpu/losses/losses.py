@@ -162,6 +162,9 @@ def total_loss(
     use_pallas_chamfer=False,
     chamfer_mode="exact",
     chamfer_window=512,
+    chamfer_starts=None,
+    chamfer_band_tiles=8,
+    chamfer_auto_costs=(None, None),
     mesh=None,
 ):
     """Weighted sum of all terms (`model/losses.py:158-218`).
@@ -195,15 +198,49 @@ def total_loss(
     if X is not None:
         from ..ops.chamfer import resolve_chamfer_mode
 
-        # 'auto' resolves from the static cloud sizes at trace time: exact
-        # at the reference's Tanks scale, grid above the measured crossover
-        # (ops/chamfer.py:resolve_chamfer_mode); a ray mesh shards the
-        # exact kernel's quadratic work, scaling the crossover by its size
+        # 'auto' resolves from the static cloud sizes at trace time:
+        # band when projection hints exist, else the cheaper of exact/grid
+        # by their own fitted cost laws (ops/chamfer.py). The exact cost
+        # only divides by the mesh size when the per-shard Pallas path
+        # will actually run.
         chamfer_mode = resolve_chamfer_mode(
             chamfer_mode, X.shape[0], Y.shape[0],
             n_devices=mesh.devices.size if mesh is not None else 1,
+            sharded_exact=(use_pallas_chamfer and mesh is not None),
+            hints_available=chamfer_starts is not None,
+            exact_ms_per_pair=chamfer_auto_costs[0],
+            grid_ms_per_point=chamfer_auto_costs[1],
         )
-        if chamfer_mode == "grid":
+        if chamfer_mode == "band":
+            # projection-guided banded NN (tpu.chamfer_mode: band): each
+            # query group sweeps only the Y rows around its projected
+            # position — the trainer supplies the per-group band starts
+            # from the warp it already knows (ops/pallas/chamfer_band.py;
+            # accuracy on the production distribution pinned in
+            # tests/test_chamfer_band.py, deviation documented in PARITY.md)
+            if chamfer_starts is None:
+                raise ValueError(
+                    "chamfer_mode 'band' needs projection hints "
+                    "(chamfer_starts) — only the training pc loss provides "
+                    "them; use 'exact'/'grid' for unstructured clouds"
+                )
+            from ..ops.pallas.chamfer_band import (
+                chamfer_loss_banded,
+                chamfer_loss_banded_sharded,
+            )
+
+            if use_pallas_chamfer and mesh is not None:
+                pc = chamfer_loss_banded_sharded(
+                    X, Y, chamfer_starts[0], chamfer_starts[1], mesh,
+                    k_tiles=chamfer_band_tiles,
+                )
+            else:
+                pc = chamfer_loss_banded(
+                    X, Y, chamfer_starts[0], chamfer_starts[1],
+                    k_tiles=chamfer_band_tiles,
+                    use_pallas=use_pallas_chamfer,
+                )
+        elif chamfer_mode == "grid":
             # opt-in approximate NN (tpu.chamfer_mode: grid): Morton-window
             # candidate search, O(S·window) instead of O(S·D). Divergence
             # from the reference's exact argmin is documented in PARITY.md;

@@ -22,38 +22,71 @@ from jax import lax
 
 _BIG = 1e10
 
-# Exact-vs-grid crossover for ``tpu.chamfer_mode: auto``. Exact cost scales
-# with S*D (dense VPU sweeps, `ops/pallas/chamfer_kernel.py`), the
-# Morton-window mode roughly with S+D (merge-rank sort + fixed windows).
-# r4 v5e measurements (standalone fwd, equal clouds): 32,400² exact 8.7 ms
-# vs grid 10.1 ms; 64,800² 26.7 vs 18.3; 129,600² 96.3 vs 35.9. Fitting
-# exact ≈ 8.7·(S·D/32400²) and grid ≈ 10.1·((S+D)/64800) puts the break-even
-# at sqrt(S·D) ≈ 37.6k points, i.e. S·D ≈ 1.41e9.
-_AUTO_GRID_THRESHOLD = 1.41e9
+# Fitted v5e cost models for ``tpu.chamfer_mode: auto`` (r4/r5 standalone
+# measurements, equal clouds). Exact cost scales with S·D (dense VPU
+# sweeps, `ops/pallas/chamfer_kernel.py`): 8.7 ms at 32,400². Grid cost
+# scales roughly with S+D (merge-rank sort + fixed Morton windows): 10.1 ms
+# at 32,400+32,400. Band cost scales with S·band (projection-guided sweeps,
+# `ops/pallas/chamfer_band.py`): 1.8 ms dual-direction at 32,400². The
+# per-unit constants are v5e measurements — retune via
+# ``tpu.chamfer_auto_exact_ms`` / ``chamfer_auto_grid_ms`` on other
+# generations (the RATIO is what decides, so modest drift is harmless).
+_EXACT_MS_PER_PAIR = 8.7 / (32400.0 * 32400.0)
+_GRID_MS_PER_POINT = 10.1 / 64800.0
+
+_warned_auto = set()
 
 
 def resolve_chamfer_mode(mode: str, n_x: int, n_y: int,
-                         n_devices: int = 1) -> str:
-    """Resolve ``'auto'`` to ``'exact'`` or ``'grid'`` from static cloud sizes.
+                         n_devices: int = 1, sharded_exact: bool = True,
+                         hints_available: bool = False,
+                         exact_ms_per_pair: float | None = None,
+                         grid_ms_per_point: float | None = None) -> str:
+    """Resolve ``'auto'`` to ``'band'``/``'exact'``/``'grid'`` from static
+    cloud sizes.
 
     ``n_x``/``n_y`` are trace-time constants ((h/pc_ratio)·(w/pc_ratio) per
-    cloud), so the choice is made once per compilation, never per step. At
-    the reference's Tanks defaults (32,400² pairs) auto picks ``exact`` —
-    bitwise reference argmin semantics; it switches to the approximate
-    Morton-window mode only above ~2× that scale (pc_ratio < 4 or larger
-    images), where grid wins and keeps growing linearly instead of
-    quadratically (BASELINE.md r4 table).
+    cloud), so the choice is made once per compilation, never per step.
 
-    Under an ``n_devices`` ray mesh the exact kernel runs per-shard
-    (each device sweeps S/N queries against the gathered other cloud —
-    `ops/pallas/chamfer_kernel.py:chamfer_loss_pallas_sharded`), dividing
-    the quadratic work by N while the grid mode's sort stays unsharded, so
-    the crossover scales with the mesh size.
+    Preference order: ``band`` whenever projection hints exist (the
+    training pc loss always has them — linear cost, <=2%% argmin deviation
+    gated on the production distribution, tests/test_chamfer_band.py);
+    otherwise the cheaper of ``exact`` (bitwise reference semantics,
+    cost ~ S·D) and ``grid`` (Morton windows, cost ~ S+D) by the fitted
+    v5e cost models — each on its own scaling law, not a single product
+    threshold (a 10k x 150k asymmetric pair is exact-cheap but
+    product-large).
+
+    The exact kernel's cost divides by ``n_devices`` ONLY when the
+    per-shard Pallas path will actually run (``sharded_exact`` — i.e.
+    use_pallas on a TPU mesh, `chamfer_loss_pallas_sharded`); the grid
+    sort runs unsharded either way. Resolving to the approximate ``grid``
+    emits a one-time warning so the parity deviation is visible.
     """
     if mode != "auto":
         return mode
-    thresh = _AUTO_GRID_THRESHOLD * max(int(n_devices), 1)
-    return "grid" if float(n_x) * float(n_y) > thresh else "exact"
+    if hints_available:
+        return "band"
+    eff_dev = max(int(n_devices), 1) if sharded_exact else 1
+    e_ms = (exact_ms_per_pair or _EXACT_MS_PER_PAIR)
+    g_ms = (grid_ms_per_point or _GRID_MS_PER_POINT)
+    exact_cost = float(n_x) * float(n_y) * e_ms / eff_dev
+    grid_cost = (float(n_x) + float(n_y)) * g_ms
+    if exact_cost <= grid_cost:
+        return "exact"
+    key = (n_x, n_y, eff_dev)
+    if key not in _warned_auto:
+        _warned_auto.add(key)
+        import warnings
+
+        warnings.warn(
+            f"chamfer_mode 'auto' picked the APPROXIMATE Morton-window "
+            f"mode for cloud sizes ({n_x}, {n_y}) (est. exact "
+            f"{exact_cost:.1f} ms vs grid {grid_cost:.1f} ms/step); "
+            "~1-3% of points get a nearby-but-not-nearest match "
+            "(PARITY.md). Set tpu.chamfer_mode: exact to pin reference "
+            "semantics.")
+    return "grid"
 
 
 def _pad_to(x, n, fill=0.0):

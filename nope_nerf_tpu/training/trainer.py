@@ -360,6 +360,33 @@ def compute_loss(
                 loss_kwargs["rgb_pc1_ori"] = img2s
 
         pc1 = jnp.matmul(pc1, R_rel_12.T, precision=_HI) + t_rel_12
+        if cfg.get("tpu", {}).get("chamfer_mode", "exact") in ("band",
+                                                              "auto"):
+            # projection hints for the banded chamfer: each cloud's NN in
+            # the other lies near its projected pixel row there. pc1 is
+            # already in Y's frame; pc2 maps into X's grid frame via the
+            # inverse rigid warp Rᵀ(p - t) (uniform scaling cancels in the
+            # perspective divide, so pre-scale clouds are fine).
+            from ..ops.pallas.chamfer_band import TILE as _BAND_TILE
+            from ..ops.pallas.chamfer_band import rows_to_start_tiles
+
+            # band height targets chamfer_band_rows GRID rows (the
+            # validated accuracy band), converted to TILE-point sweeps for
+            # the actual grid width — a fixed tile count would thin to ~8
+            # rows at pc_ratio 1 widths
+            band_rows = cfg["tpu"].get("chamfer_band_rows", 32)
+            k_band = cfg["tpu"].get("chamfer_band_tiles") or max(
+                2, round(band_rows * sres[1] / _BAND_TILE)
+            )
+            n_pc = sres[0] * sres[1]
+            q21 = jnp.matmul(pc2 - t_rel_12, R_rel_12, precision=_HI)
+            loss_kwargs["chamfer_starts"] = (
+                rows_to_start_tiles(pc1, n_pc, sres, camera_mat,
+                                    project_to_cam, k_band),
+                rows_to_start_tiles(q21, n_pc, sres, camera_mat,
+                                    project_to_cam, k_band),
+            )
+            loss_kwargs["chamfer_band_tiles"] = k_band
         if tcfg["scale_pcs"]:
             pc1 = pc1 / scale2
             pc2 = pc2 / scale2
@@ -389,10 +416,17 @@ def compute_loss(
             cfg.get("tpu", {}).get("use_pallas", True)
             and _compute_platform(mesh) == "tpu"
         ),
-        # 'exact' (reference semantics, default) | 'grid' (opt-in
-        # Morton-window approximate NN — PARITY.md "Approximate chamfer")
+        # 'exact' (reference semantics, default) | 'band' (projection-
+        # guided banded NN, fastest on the structured training clouds) |
+        # 'grid' (Morton-window NN — PARITY.md "Approximate chamfer")
         chamfer_mode=cfg.get("tpu", {}).get("chamfer_mode", "exact"),
         chamfer_window=cfg.get("tpu", {}).get("chamfer_window", 512),
+        # per-generation retune of the 'auto' cost models without a code
+        # change (the baked constants are v5e measurements)
+        chamfer_auto_costs=(
+            cfg.get("tpu", {}).get("chamfer_auto_exact_ms_per_pair"),
+            cfg.get("tpu", {}).get("chamfer_auto_grid_ms_per_point"),
+        ),
         mesh=mesh,
         with_auto_mask=tcfg.get("with_auto_mask", False),
         **loss_kwargs,

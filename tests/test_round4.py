@@ -105,17 +105,40 @@ class TestChamferAutoMode:
         assert resolve_chamfer_mode("auto", 32400, 32400) == "exact"
         # 2x Tanks scale: grid wins (BASELINE.md r4: 18.3 vs 26.7 ms)
         assert resolve_chamfer_mode("auto", 64800, 64800) == "grid"
-        # asymmetric clouds use the product (cost model is S*D)
+        # asymmetric clouds: each mode on its OWN cost law (exact ~ S*D,
+        # grid ~ S+D), not a single product threshold (r4 ADVICE item 2)
         assert resolve_chamfer_mode("auto", 16200, 64800) == "exact"
+        # a very asymmetric pair whose product is large but whose exact
+        # cost is still below the grid sort cost stays exact
+        assert resolve_chamfer_mode("auto", 1024, 1024 * 1024) == "exact"
         # explicit modes pass through untouched at any size
         assert resolve_chamfer_mode("exact", 10 ** 6, 10 ** 6) == "exact"
         assert resolve_chamfer_mode("grid", 8, 8) == "grid"
-        # a ray mesh shards the exact kernel's quadratic work: the
-        # crossover scales with the device count
+        # a ray mesh shards the exact kernel's quadratic work — but ONLY
+        # when the per-shard Pallas path will actually run (ADVICE item 1)
         assert resolve_chamfer_mode("auto", 64800, 64800, n_devices=8) == \
             "exact"
-        assert resolve_chamfer_mode("auto", 259200, 259200, n_devices=8) == \
-            "grid"
+        assert resolve_chamfer_mode("auto", 64800, 64800, n_devices=8,
+                                    sharded_exact=False) == "grid"
+        # projection hints trump everything: band is the fastest at every
+        # scale on the structured training clouds (r5)
+        assert resolve_chamfer_mode("auto", 64800, 64800,
+                                    hints_available=True) == "band"
+
+    def test_auto_grid_warns_once(self):
+        import warnings as _w
+
+        import nope_nerf_tpu.ops.chamfer as chamfer_mod
+
+        chamfer_mod._warned_auto.clear()
+        with _w.catch_warnings(record=True) as rec:
+            _w.simplefilter("always")
+            assert chamfer_mod.resolve_chamfer_mode(
+                "auto", 999888, 999888) == "grid"
+            assert chamfer_mod.resolve_chamfer_mode(
+                "auto", 999888, 999888) == "grid"
+        msgs = [r for r in rec if "APPROXIMATE" in str(r.message)]
+        assert len(msgs) == 1  # one-time per cloud-size key
 
     def test_config_accepts_auto(self):
         from nope_nerf_tpu.config import check_supported
@@ -150,7 +173,9 @@ class TestChamferAutoMode:
         import nope_nerf_tpu.ops.chamfer as chamfer_mod
         from nope_nerf_tpu.losses.losses import total_loss
 
-        monkeypatch.setattr(chamfer_mod, "_AUTO_GRID_THRESHOLD", 100.0)
+        # force the exact cost model sky-high so auto resolves to grid at
+        # this toy size
+        monkeypatch.setattr(chamfer_mod, "_EXACT_MS_PER_PAIR", 1e6)
         rng = np.random.RandomState(1)
         X = jnp.asarray(rng.randn(96, 3).astype(np.float32))
         Y = jnp.asarray(rng.randn(80, 3).astype(np.float32))
