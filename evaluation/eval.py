@@ -116,7 +116,10 @@ def main(cfg, eval_depth=False):
     try:
         from nope_nerf_tpu.models.lpips import load_lpips
 
-        lpips_fn = load_lpips()
+        # optional override of the ~/.cache weights location (used by the
+        # first-contact dry run to keep its synthetic weights out of the
+        # real cache); absent key -> DEFAULT_WEIGHTS
+        lpips_fn = load_lpips(cfg["extract_images"].get("lpips_weights"))
     except FileNotFoundError as e:
         print(f"LPIPS weights not found ({e}); reporting nan — convert them "
               "once with tools/convert_lpips.py")

@@ -16,7 +16,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from nope_nerf_tpu.config import DEFAULT_CONFIG, load_config
+from nope_nerf_tpu.config import (
+    DEFAULT_CONFIG,
+    apply_parity_profile,
+    load_config,
+)
 from nope_nerf_tpu.dataloading.scene import get_scene
 from nope_nerf_tpu.geometry.align import (
     align_ate_c2b_use_a2b,
@@ -29,6 +33,10 @@ from nope_nerf_tpu.utils.vis import export_camera_frustums
 
 
 def main(cfg, vis=False):
+    # surface consistency: all five CLIs accept the tpu.parity one-knob
+    # profile (pose eval has no sampling knobs today, so this is a no-op
+    # guard that keeps the knob future-proof here)
+    apply_parity_profile(cfg)
     out_dir = cfg["training"]["out_dir"]
     scene = get_scene(cfg, mode="train")
 

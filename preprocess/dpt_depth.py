@@ -23,7 +23,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from nope_nerf_tpu.config import DEFAULT_CONFIG, check_supported, load_config
+from nope_nerf_tpu.config import (
+    DEFAULT_CONFIG,
+    apply_parity_profile,
+    check_supported,
+    load_config,
+)
 from nope_nerf_tpu.dataloading.scene import get_scene
 from nope_nerf_tpu.models.dpt import (
     apply_dpt_batched,
@@ -33,6 +38,7 @@ from nope_nerf_tpu.models.dpt import (
 
 
 def main(cfg):
+    apply_parity_profile(cfg)
     assert cfg["depth"]["type"] == "DPT", "set depth.type: DPT for preprocessing"
     weights_path = cfg["depth"]["path"]
     if not os.path.exists(weights_path):

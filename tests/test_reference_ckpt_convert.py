@@ -246,6 +246,81 @@ class TestConverter:
 # end-to-end: converted checkpoints drive the real eval CLIs
 # ---------------------------------------------------------------------------
 
+class TestHardening:
+    """Round-5 VERDICT item 6: numbered-backup scan + --strict + loud
+    focal-shape errors + corrupted-stream behaviour."""
+
+    def test_numbered_backup_directory_scan(self, tmp_path):
+        """A directory holding ONLY numbered backups (`train.py:262-271`
+        backup_every layout) converts from the highest-numbered set."""
+        rng = np.random.default_rng(0)
+        d = tmp_path / "ck"
+        save_reference_ckpts(str(d), rng, n_cams=3)
+        # turn the live files into two generations of numbered backups
+        for s in ("model", "model_pose", "model_focal", "model_distortion"):
+            src = d / f"{s}.pt"
+            ck = torch.load(str(src), map_location="cpu",
+                            weights_only=False)
+            torch.save(ck, str(d / f"{s}_5000.pt"))
+            ck["it"] = 999
+            torch.save(ck, str(d / f"{s}_10000.pt"))
+            os.remove(str(src))
+        out = tmp_path / "npz"
+        convert_main([str(d), str(out)])
+        tree, scal = load_pytree(str(out / "model_pose.npz"))
+        assert scal["it"] == 999  # the HIGHEST backup won
+        # --step picks an exact generation
+        out2 = tmp_path / "npz2"
+        convert_main([str(d), str(out2), "--step", "5000"])
+        _, scal2 = load_pytree(str(out2 / "model_pose.npz"))
+        assert scal2["it"] == 123
+        # asking for a missing step errors loudly
+        with pytest.raises(SystemExit, match="step-7777"):
+            convert_main([str(d), str(tmp_path / "npz3"), "--step", "7777"])
+
+    def test_strict_mode_errors_on_unknown_keys(self, tmp_path):
+        rng = np.random.default_rng(1)
+        d = tmp_path / "ck"
+        save_reference_ckpts(str(d), rng, n_cams=3)
+        ck = torch.load(str(d / "model.pt"), map_location="cpu",
+                        weights_only=False)
+        ck["model"]["renderer.model.mystery.weight"] = torch.zeros(3)
+        torch.save(ck, str(d / "model.pt"))
+        out = tmp_path / "npz"
+        with pytest.raises(ValueError, match="strict.*mystery"):
+            convert_main([str(d), str(out), "--strict"])
+        # non-strict converts with a warning (and frozen DPT subtrees are
+        # never an error even under --strict)
+        convert_main([str(d), str(out)])
+        ck["model"]["depth_estimator.blocks.0.weight"] = torch.zeros(3)
+        del ck["model"]["renderer.model.mystery.weight"]
+        torch.save(ck, str(d / "model.pt"))
+        convert_main([str(d), str(tmp_path / "npz4"), "--strict"])
+
+    def test_focal_shape_error_is_loud(self, tmp_path):
+        p = tmp_path / "model_focal.pt"
+        torch.save({"model": {"fx": torch.zeros(4)}, "optimizer": {}},
+                   str(p))
+        with pytest.raises(ValueError, match="focal param 'fx' has 4"):
+            convert_file(str(p), str(tmp_path))
+
+    def test_corrupted_stream_fails_loudly_not_partially(self, tmp_path):
+        """A truncated .pt must raise, and the other (healthy) streams of
+        the directory must still have been converted before the failure."""
+        rng = np.random.default_rng(2)
+        d = tmp_path / "ck"
+        save_reference_ckpts(str(d), rng, n_cams=3)
+        with open(str(d / "model_distortion.pt"), "wb") as f:
+            f.write(b"\x00corrupted")
+        out = tmp_path / "npz"
+        with pytest.raises(Exception):
+            convert_main([str(d), str(out)])
+        # streams converted before the corrupt one are on disk and loadable
+        tree, _ = load_pytree(str(out / "model.npz"))
+        assert "params" in tree
+        assert not os.path.exists(str(out / "model_distortion.npz"))
+
+
 @pytest.fixture(scope="module")
 def disk_scene(tmp_path_factory):
     root = tmp_path_factory.mktemp("refckpt_data")

@@ -91,6 +91,9 @@ def _split(ckpt):
     return state, scalars
 
 
+STRICT = False
+
+
 def _strip_prefix(state):
     """Normalise NeRF MLP key prefixes: the ``nope_nerf`` wrapper nests the
     field under ``renderer.model.`` (`model/network.py:11`,
@@ -120,6 +123,11 @@ def _strip_prefix(state):
               "(preprocessing net; convert with tools/convert_dpt.py)")
     other = [k for k in dropped if "depth_estimator" not in k]
     if other:
+        if STRICT:
+            raise ValueError(
+                f"--strict: unrecognised non-DPT keys in checkpoint: "
+                f"{other[:8]}{'...' if len(other) > 8 else ''}"
+            )
         print(f"  WARNING: unrecognised keys ignored: {other[:8]}")
     return out
 
@@ -128,12 +136,22 @@ def convert_nerf(ckpt):
     state, scalars = _split(ckpt)
     state = _strip_prefix(state)
     params = {}
+    used = set()
     for ref_key, our_key in _NERF_LAYER_MAP.items():
         w = state.get(f"{ref_key}.weight")
         b = state.get(f"{ref_key}.bias")
         if w is None or b is None:
             raise ValueError(f"checkpoint missing {ref_key}.weight/.bias")
         params[our_key] = {"w": _to_np(w).T.copy(), "b": _to_np(b)}
+        used.update((f"{ref_key}.weight", f"{ref_key}.bias"))
+    extra = sorted(set(state) - used)
+    if extra:
+        if STRICT:
+            raise ValueError(
+                f"--strict: unrecognised NeRF keys in checkpoint: "
+                f"{extra[:8]}{'...' if len(extra) > 8 else ''}"
+            )
+        print(f"  WARNING: unrecognised NeRF keys ignored: {extra[:8]}")
     return {"params": params}, scalars
 
 
@@ -149,11 +167,23 @@ def convert_pose(ckpt):
     return tree, scalars
 
 
+def _as_scalar(v, name):
+    a = _to_np(v)
+    if a.size != 1:
+        raise ValueError(
+            f"focal param {name!r} has {a.size} elements (shape "
+            f"{a.shape}); LearnFocal stores scalars "
+            "(`model/intrinsics.py:14-31`) — this is not a reference "
+            "focal checkpoint"
+        )
+    return a.reshape(())
+
+
 def convert_focal(ckpt):
     state, scalars = _split(ckpt)
-    params = {"fx": _to_np(state["fx"]).reshape(())}
+    params = {"fx": _as_scalar(state["fx"], "fx")}
     if "fy" in state:
-        params["fy"] = _to_np(state["fy"]).reshape(())
+        params["fy"] = _as_scalar(state["fy"], "fy")
     return {"params": params}, scalars
 
 
@@ -207,20 +237,61 @@ def _flat_leaves(tree):
         yield tree
 
 
+def _scan_dir(src, step=None):
+    """Pick one .pt per stream from a checkpoint directory.
+
+    Mirrors the reference's save layout (`train.py:249-271`): live
+    ``<stream>.pt`` files plus numbered backups ``<stream>_<it>.pt`` from
+    ``backup_every``. Preference: the exact ``--step`` backup when given,
+    else the live file, else the HIGHEST-numbered backup.
+    """
+    import re
+
+    found = []
+    for s in _STREAMS:
+        if step is not None:
+            p = os.path.join(src, f"{s}_{step}.pt")
+            if os.path.exists(p):
+                found.append(p)
+            continue
+        live = os.path.join(src, f"{s}.pt")
+        if os.path.exists(live):
+            found.append(live)
+            continue
+        pat = re.compile(re.escape(s) + r"_(\d+)\.pt$")
+        backups = []
+        for f in os.listdir(src):
+            m = pat.match(f)
+            if m:
+                backups.append((int(m.group(1)), f))
+        if backups:
+            it, f = max(backups)
+            print(f"using numbered backup {f} for stream {s}")
+            found.append(os.path.join(src, f))
+    return found
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     ap.add_argument("src", help=".pt file or directory holding the streams")
     ap.add_argument("out_dir", help="output directory for npz streams")
+    ap.add_argument("--step", type=int, default=None,
+                    help="pick the numbered backup model_<step>.pt instead "
+                         "of the live files")
+    ap.add_argument("--strict", action="store_true",
+                    help="error on unrecognised non-DPT checkpoint keys "
+                         "instead of warning")
     args = ap.parse_args(argv)
     os.makedirs(args.out_dir, exist_ok=True)
+    global STRICT
+    STRICT = args.strict
 
     if os.path.isdir(args.src):
-        found = [
-            os.path.join(args.src, f"{s}.pt") for s in _STREAMS
-            if os.path.exists(os.path.join(args.src, f"{s}.pt"))
-        ]
+        found = _scan_dir(args.src, args.step)
         if not found:
-            raise SystemExit(f"no {'/'.join(_STREAMS)}.pt found in {args.src}")
+            what = (f"step-{args.step} backups" if args.step is not None
+                    else f"{'/'.join(_STREAMS)}.pt or numbered backups")
+            raise SystemExit(f"no {what} found in {args.src}")
     else:
         found = [args.src]
     for f in found:
