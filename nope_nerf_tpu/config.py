@@ -53,11 +53,13 @@ def update_recursive(dict1: dict, dict2: dict) -> None:
 
 # The individually-set flags that tpu.parity: True expands to — ONE knob
 # producing the most reference-faithful trajectory for A/B debugging. The
-# defaults quietly trade three small reproducibility deviations for speed
+# defaults quietly trade four small reproducibility deviations for speed
 # (documented in PARITY.md): with-replacement ray sampling vs randperm
-# (`model/training.py:257`), bf16/Pallas MLP numerics, and the pipelined
+# (`model/training.py:257`), bf16/Pallas MLP numerics, the pipelined
 # metrics sync seeing each epoch's PSNR one epoch late (`train.py:297-344`'s
-# plateau detector is eager in the reference).
+# plateau detector is eager in the reference), and the banded chamfer NN
+# (chamfer_mode auto resolves to band on the training clouds; <=1.2%
+# one-sided argmin deviation, quality-gated — PARITY.md "Banded chamfer").
 PARITY_PROFILE = {
     "fast_ray_sampling": False,   # exact randperm[:n] sampling semantics
     "chamfer_mode": "exact",      # reference dense-argmin nearest neighbours
@@ -70,7 +72,7 @@ PARITY_PROFILE = {
 # stock configs/default.yaml values for the profile keys: a cfg carrying one
 # of these is indistinguishable from "user never touched it", so overriding
 # it is silent; any OTHER conflicting value must have been set on purpose
-_PARITY_STOCK = {"fast_ray_sampling": True, "chamfer_mode": "exact"}
+_PARITY_STOCK = {"fast_ray_sampling": True, "chamfer_mode": "auto"}
 
 
 def apply_parity_profile(cfg) -> dict:

@@ -35,13 +35,15 @@ class TestParityProfile:
         assert "eager_metrics" not in cfg["tpu"]
 
     def test_override_warns_only_for_non_stock_values(self):
-        # stock default.yaml values (fast_ray_sampling True) override silently
+        # stock default.yaml values (fast_ray_sampling True, chamfer_mode
+        # auto since r5) override silently
         cfg = {"tpu": {"parity": True, "fast_ray_sampling": True,
-                       "chamfer_mode": "exact"}}
+                       "chamfer_mode": "auto"}}
         with warnings.catch_warnings():
             warnings.simplefilter("error")
             apply_parity_profile(cfg)
         assert cfg["tpu"]["fast_ray_sampling"] is False
+        assert cfg["tpu"]["chamfer_mode"] == "exact"
         # a clearly user-set conflicting value warns
         cfg = {"tpu": {"parity": True, "chamfer_mode": "grid"}}
         with pytest.warns(UserWarning, match="chamfer_mode"):

@@ -39,6 +39,65 @@ class TestParityKnobSurface:
         assert cfg == before
 
 
+class TestAutoDefault:
+    """Round 5 flips the stock chamfer_mode to 'auto' (band on the
+    training clouds, quality-gated); parity still pins exact, silently."""
+
+    def test_stock_default_is_auto(self):
+        from nope_nerf_tpu.config import DEFAULT_CONFIG, load_config
+
+        cfg = load_config(DEFAULT_CONFIG, default_path=None)
+        assert cfg["tpu"]["chamfer_mode"] == "auto"
+
+    def test_parity_overrides_stock_auto_silently(self):
+        import warnings
+
+        from nope_nerf_tpu.config import apply_parity_profile
+
+        cfg = {"tpu": {"parity": True, "chamfer_mode": "auto"}}
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            apply_parity_profile(cfg)
+        assert cfg["tpu"]["chamfer_mode"] == "exact"
+
+
+class TestShardedBand:
+    def test_sharded_band_matches_unsharded(self):
+        """chamfer_loss_banded_sharded on an 8-device CPU mesh (interpret
+        kernels) == the unsharded banded loss: the multi-chip band path is
+        a correctness-checked citizen like the exact sharded kernel
+        (tests/test_parallel.py pattern)."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as _np
+
+        from nope_nerf_tpu.ops.pallas.chamfer_band import (
+            QB,
+            TILE,
+            band_start_tiles,
+            chamfer_loss_banded,
+            chamfer_loss_banded_sharded,
+        )
+        from nope_nerf_tpu.parallel.mesh import make_ray_mesh
+
+        mesh = make_ray_mesh(8)
+        k1, k2 = jax.random.split(jax.random.PRNGKey(3))
+        S = D = 8 * QB          # whole groups per shard
+        X = jax.random.uniform(k1, (S, 3), minval=-1, maxval=1)
+        Y = jax.random.uniform(k2, (D, 3), minval=-1, maxval=1)
+        n_tiles = -(-D // TILE)
+        k_tiles = 2
+        rng = _np.random.default_rng(0)
+        sx = jnp.asarray(
+            rng.integers(0, n_tiles - k_tiles + 1, S // QB), jnp.int32)
+        sy = jnp.asarray(
+            rng.integers(0, n_tiles - k_tiles + 1, D // QB), jnp.int32)
+        want = chamfer_loss_banded(X, Y, sx, sy, k_tiles, use_pallas=False)
+        got = chamfer_loss_banded_sharded(X, Y, sx, sy, mesh, k_tiles,
+                                          interpret=True)
+        _np.testing.assert_allclose(float(got), float(want), rtol=1e-6)
+
+
 class TestDryrunCorrectnessAssert:
     def test_dryrun_compares_against_single_device(self):
         """VERDICT r4 item 5: MULTICHIP_r*.json is a correctness artifact —
