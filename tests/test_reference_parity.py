@@ -350,3 +350,108 @@ class TestTrajectoryParity:
             p["nerf"]["fc_rgb"]["b"],
             sd["fc_rgb.bias"].detach().numpy(),
             rtol=0, atol=1e-3)
+
+
+class TestConvertedCheckpointRender:
+    """The migration chain, executed end-to-end: the ACTUAL reference
+    modules' state_dicts saved in the reference's on-disk checkpoint layout
+    (`model/checkpoints.py:45-60` torch.save of module+optimizer dicts),
+    through tools/convert_reference_ckpt.py, rendered by THIS framework —
+    A/B'd against the reference's own Renderer on the same rays. Stronger
+    than test_reference_ckpt_convert.py's synthetic fixtures: the weights
+    and the oracle are both the executed reference."""
+
+    def test_converter_output_equals_inmemory_extraction(
+            self, cfg, scene, stack, tmp_path_factory):
+        import torch as _torch
+
+        from nope_nerf_tpu.training.checkpoints import load_pytree
+
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                        "tools"))
+        from convert_reference_ckpt import main as convert_main
+
+        d = tmp_path_factory.mktemp("ref_ckpt_pt")
+        out = tmp_path_factory.mktemp("ref_ckpt_npz")
+        opt, opt_pose, opt_focal, opt_dist = stack.optimizers
+        _torch.save({"model": stack.net.state_dict(),
+                     "optimizer": opt.state_dict(),
+                     "epoch_it": 7, "it": 123},
+                    str(d / "model.pt"))
+        _torch.save({"model": stack.pose_net.state_dict(),
+                     "optimizer": opt_pose.state_dict(), "it": 123},
+                    str(d / "model_pose.pt"))
+        _torch.save({"model": stack.focal_net.state_dict(),
+                     "optimizer": opt_focal.state_dict(), "it": 123},
+                    str(d / "model_focal.pt"))
+        _torch.save({"model": stack.dist_net.state_dict(),
+                     "optimizer": opt_dist.state_dict(), "it": 123},
+                    str(d / "model_distortion.pt"))
+        convert_main([str(d), str(out), "--strict"])
+
+        direct = rx.stack_params_to_jax(stack, cfg)
+        nerf_tree, scal = load_pytree(str(out / "model.npz"))
+        assert scal["it"] == 123 and scal["epoch_it"] == 7
+        for layer, wb in direct["nerf"].items():
+            np.testing.assert_array_equal(
+                nerf_tree["params"][layer]["w"], wb["w"], err_msg=layer)
+            np.testing.assert_array_equal(
+                nerf_tree["params"][layer]["b"], wb["b"], err_msg=layer)
+        pose_tree, _ = load_pytree(str(out / "model_pose.npz"))
+        np.testing.assert_array_equal(pose_tree["params"]["r"],
+                                      direct["pose"]["r"])
+        np.testing.assert_array_equal(pose_tree["params"]["t"],
+                                      direct["pose"]["t"])
+        focal_tree, _ = load_pytree(str(out / "model_focal.npz"))
+        np.testing.assert_array_equal(focal_tree["params"]["fx"],
+                                      direct["focal"]["fx"])
+        dist_tree, _ = load_pytree(str(out / "model_distortion.npz"))
+        np.testing.assert_array_equal(dist_tree["params"]["scales"],
+                                      direct["distortion"]["scales"])
+        np.testing.assert_array_equal(dist_tree["params"]["shifts"],
+                                      direct["distortion"]["shifts"])
+
+        self._render_ab(cfg, scene, stack, nerf_tree["params"])
+
+    @staticmethod
+    def _render_ab(cfg, scene, stack, nerf_params):
+        """Converted weights through OUR renderer == the reference's own
+        Renderer.forward on the same rays (`model/rendering.py:36-167`)."""
+        import torch as _torch
+
+        from nope_nerf_tpu.geometry.rays import arange_pixels
+        from nope_nerf_tpu.ops.rendering import render_rays
+
+        n = 96
+        pix_all, _ = arange_pixels((scene.H, scene.W))
+        sel = np.linspace(0, pix_all.shape[0] - 1, n).astype(np.int64)
+        pixels = np.asarray(pix_all)[sel]
+        depth = np.asarray(scene.dpt_depth[0]).reshape(-1)[sel]
+        K = np.asarray(scene.K, np.float32)
+        world = np.eye(4, dtype=np.float32)
+        smat = np.asarray(scene.scale_mat, np.float32)
+
+        with _torch.no_grad():
+            ref_out = stack.renderer.forward(
+                _torch.tensor(pixels, dtype=_torch.float32).unsqueeze(0),
+                _torch.tensor(depth, dtype=_torch.float32).reshape(1, -1, 1),
+                _torch.tensor(K).unsqueeze(0),
+                _torch.tensor(world).unsqueeze(0),
+                _torch.tensor(smat).unsqueeze(0),
+                "nope_nerf", add_noise=False, eval_=False, it=10 ** 6,
+            )
+        my_out = render_rays(
+            jax.tree.map(jnp.asarray, nerf_params),
+            jnp.asarray(pixels, jnp.float32),
+            jnp.asarray(depth, jnp.float32),
+            jnp.asarray(K), jnp.asarray(world), jnp.asarray(smat),
+            make_render_cfg(cfg), add_noise=False, eval_mode=False,
+        )
+        np.testing.assert_allclose(
+            np.asarray(my_out["rgb"]).reshape(-1, 3),
+            ref_out["rgb"].reshape(-1, 3).numpy(),
+            rtol=3e-4, atol=3e-5, err_msg="rendered rgb diverged")
+        np.testing.assert_allclose(
+            np.asarray(my_out["depth_pred"]).reshape(-1),
+            ref_out["depth_pred"].reshape(-1).numpy(),
+            rtol=3e-4, atol=3e-4, err_msg="rendered depth diverged")
