@@ -88,7 +88,13 @@ def interp_poses_bspline(c2ws, n_novel, input_times, degree):
 
 def get_poses_at_times(c2ws, input_times, target_times):
     """Slerp rotations + piecewise-linear translations at arbitrary times
-    (`model/common.py:533-558`)."""
+    (`model/common.py:533-558`).
+
+    Documented divergence (executed-evidence:
+    tests/test_trajectory_reference_exec.py): the reference's ``interp_t``
+    applies the lerp weights to the wrong endpoints and 0/0-NaNs when a
+    target time equals an input knot — dead code there (no reference CLI
+    calls it); this is the standard correct lerp instead."""
     c2ws = np.asarray(c2ws)
     rots = R.from_matrix(c2ws[:, :3, :3])
     slerp = Slerp(input_times, rots)
