@@ -36,6 +36,66 @@ from nope_nerf_tpu.training.checkpoints import CheckpointIO
 from nope_nerf_tpu.training.trainer import make_render_cfg
 
 
+def render_novel_views(nerf_params, camera_mat, c2ws, render_cfg, resolution,
+                       render_dir, *, output_geo=False, rad=4.0):
+    """Render each novel c2w and write the reference's per-frame artifact
+    tree (`model/extracting_images.py:38-124`): ``img_out/NNNN.png``,
+    ``depth_out/NNNN.png`` (per-frame normalised uint8) + ``depth_out/N.npy``
+    (raw depth), and ``geo_out/NNNN.png`` when the phong pass is on.
+
+    Returns (imgs, depths, geos) as lists of uint8 arrays for the videos.
+    """
+    import imageio
+
+    img_out_dir = os.path.join(render_dir, "img_out")
+    depth_out_dir = os.path.join(render_dir, "depth_out")
+    os.makedirs(img_out_dir, exist_ok=True)
+    os.makedirs(depth_out_dir, exist_ok=True)
+    if output_geo:
+        geo_out_dir = os.path.join(render_dir, "geo_out")
+        os.makedirs(geo_out_dir, exist_ok=True)
+
+    imgs, depths, geos = [], [], []
+    for i, c2w in enumerate(np.asarray(c2ws)):
+        world_mat = jnp.asarray(np.linalg.inv(c2w))
+        rgb, depth = render_image(
+            nerf_params, tuple(resolution), jnp.asarray(camera_mat),
+            world_mat, jnp.eye(4), render_cfg,
+        )
+        rgb = np.clip(np.asarray(rgb), 0, 1)
+        depth = np.asarray(depth)
+        imgs.append((rgb * 255).astype(np.uint8))
+        np.save(os.path.join(depth_out_dir, f"{i}.npy"), depth)
+        dmin, dmax = depth.min(), max(depth.max(), 1e-8)
+        depths.append(
+            np.clip(255.0 / dmax * (depth - dmin), 0, 255).astype(np.uint8)
+        )
+        imageio.imwrite(
+            os.path.join(img_out_dir, str(i).zfill(4) + ".png"), imgs[-1])
+        imageio.imwrite(
+            os.path.join(depth_out_dir, str(i).zfill(4) + ".png"),
+            depths[-1])
+        if output_geo:
+            from nope_nerf_tpu.geometry.rays import arange_pixels
+            from nope_nerf_tpu.ops.phong import phong_render
+
+            _, pixels = arange_pixels(tuple(resolution))
+            geo = phong_render(
+                nerf_params, pixels, jnp.asarray(camera_mat), world_mat,
+                jnp.eye(4), render_cfg, rad=rad,
+            )["rgb"]
+            geo = np.clip(
+                np.asarray(geo).reshape(resolution[0], resolution[1], 3),
+                0, 1,
+            )
+            geos.append((geo * 255).astype(np.uint8))
+            imageio.imwrite(
+                os.path.join(geo_out_dir, str(i).zfill(4) + ".png"),
+                geos[-1])
+        print(f"rendered novel view {i + 1}/{len(c2ws)}")
+    return imgs, depths, geos
+
+
 def main(cfg):
     apply_parity_profile(cfg)
     np.random.seed(0)
@@ -93,35 +153,14 @@ def main(cfg):
     render_dir = os.path.join(generation_dir, "extracted_images", op)
     os.makedirs(render_dir, exist_ok=True)
 
-    imgs, depths, geos = [], [], []
-    output_geo = False  # phong geometry pass (reference `vis/render.py:103`)
-    for i, c2w in enumerate(np.asarray(c2ws)):
-        world_mat = jnp.asarray(np.linalg.inv(c2w))
-        rgb, depth = render_image(
-            nerf_params, tuple(resolution), jnp.asarray(camera_mat),
-            world_mat, jnp.eye(4), render_cfg,
-        )
-        rgb = np.clip(np.asarray(rgb), 0, 1)
-        depth = np.asarray(depth)
-        imgs.append((rgb * 255).astype(np.uint8))
-        dmin, dmax = depth.min(), max(depth.max(), 1e-8)
-        depths.append(
-            np.clip(255.0 / dmax * (depth - dmin), 0, 255).astype(np.uint8)
-        )
-        if output_geo:
-            from nope_nerf_tpu.geometry.rays import arange_pixels
-            from nope_nerf_tpu.ops.phong import phong_render
-
-            _, pixels = arange_pixels(tuple(resolution))
-            geo = phong_render(
-                nerf_params, pixels, jnp.asarray(camera_mat), world_mat,
-                jnp.eye(4), render_cfg, rad=cfg["rendering"]["radius"],
-            )["rgb"]
-            geo = np.clip(
-                np.asarray(geo).reshape(resolution[0], resolution[1], 3), 0, 1
-            )
-            geos.append((geo * 255).astype(np.uint8))
-        print(f"rendered novel view {i + 1}/{len(c2ws)}")
+    # the reference CLI pins output_geo=False (`vis/render.py:103`) while
+    # its Extract_Images supports the phong pass; here it is an opt-in knob
+    output_geo = bool(cfg["extract_images"].get("output_geo", False))
+    imgs, depths, geos = render_novel_views(
+        nerf_params, camera_mat, np.asarray(c2ws), render_cfg,
+        tuple(resolution), render_dir, output_geo=output_geo,
+        rad=cfg["rendering"]["radius"],
+    )
 
     video_dir = os.path.join(render_dir, "video_out")
     os.makedirs(video_dir, exist_ok=True)
