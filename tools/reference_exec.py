@@ -137,6 +137,53 @@ def load_reference():
     return _ns
 
 
+def load_reference_dataset_module():
+    """Load the reference's ``dataloading/dataset.py`` (DataField) without
+    importing its package ``__init__`` (which drags torchvision, absent in
+    this image). ``common.py`` is loaded by file path first, with the
+    legacy-imageio ``ignoregamma`` kwarg shimmed away (the reference pins
+    imageio < 2.16, `environment.yaml:20`; modern imageio removed the kwarg
+    and never applies gAMA correction, so dropping it preserves behavior).
+
+    Returns (common_module, dataset_module)."""
+    import importlib.util
+
+    load_reference()
+    cpath = os.path.join(REFERENCE_DIR, "dataloading", "common.py")
+    cspec = importlib.util.spec_from_file_location("ref_dl_common", cpath)
+    common = importlib.util.module_from_spec(cspec)
+    cspec.loader.exec_module(common)
+    real_imread = common.imageio.imread
+
+    def _imread(f, **kw):
+        kw.pop("ignoregamma", None)
+        return real_imread(f, **kw)
+
+    common.imageio = types.SimpleNamespace(imread=_imread)
+
+    # satisfy dataset.py's `from dataloading.common import ...` without
+    # executing the real package __init__
+    pkg = types.ModuleType("dataloading")
+    pkg.common = common
+    saved = {k: sys.modules.get(k)
+             for k in ("dataloading", "dataloading.common")}
+    sys.modules["dataloading"] = pkg
+    sys.modules["dataloading.common"] = common
+    try:
+        dpath = os.path.join(REFERENCE_DIR, "dataloading", "dataset.py")
+        dspec = importlib.util.spec_from_file_location("ref_dl_dataset",
+                                                       dpath)
+        dataset = importlib.util.module_from_spec(dspec)
+        dspec.loader.exec_module(dataset)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+    return common, dataset
+
+
 def build_reference_stack(cfg, scene, *, seed=42, perturb=0.0,
                           deterministic_z=True):
     """Construct the reference's full training stack on CPU.
