@@ -391,7 +391,13 @@ def train(cfg, max_epochs=None, scene=None):
 
         weights = sched.weights(epoch)
         w_l1, w_l2 = sched.rgb_loss_switch(epoch)
-        lrs = sched.lrs(epoch)
+        # applied_lrs, not lrs: the reference rewrites param_groups at the
+        # END of each epoch, so epoch e trains at the formula evaluated at
+        # e-1 (executed A/B: tests/test_traincli_reference_exec.py). In
+        # pipelined scan mode the plateau state itself lags one more epoch
+        # (see _process_epoch_metrics) — tpu.parity's eager_metrics removes
+        # that lag.
+        lrs = sched.applied_lrs(epoch)
         static = sched.static_flags(epoch)
         scalars = {
             "weights": {k: np.float32(v) for k, v in weights.items()},

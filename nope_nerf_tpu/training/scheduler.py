@@ -138,6 +138,10 @@ class Scheduler:
         return 0.0, 1.0
 
     def lrs(self, epoch):
+        """The decay formula evaluated at ``epoch`` (`train.py:326-340`) —
+        what the reference LOGS as ``train/lr`` at the end of that epoch.
+        For the LRs a given epoch's steps actually train at, use
+        :meth:`applied_lrs`."""
         s = self.state.scheduling_start
         if epoch < s:
             return dict(self.base_lrs)
@@ -147,9 +151,46 @@ class Scheduler:
             for g in self.base_lrs
         }
 
+    def applied_lrs(self, epoch):
+        """The LRs the reference APPLIES to epoch ``epoch``'s train steps.
+
+        The reference rewrites the optimizer param_groups at the END of
+        each epoch (`train.py:297-340`), so epoch E trains at values
+        computed at epoch E-1 — with ``scheduling_start`` as of then, i.e.
+        call this BEFORE feeding epoch E's PSNR to :meth:`update_plateau`.
+        Executed A/B: tests/test_traincli_reference_exec.py reads the live
+        torch ``param_groups`` at every real ``train_step`` of a full
+        reference ``train()`` run and pins both paths:
+
+        * auto path: the :meth:`lrs` formula at E-1 (`train.py:326-340`);
+        * non-auto path: torch's ``LRScheduler.__init__`` runs one
+          ``step()`` at construction, so after the end-of-epoch ``step()``
+          of epoch e the counter reads e+1 and the milestone at m fires at
+          the end of epoch m-1 — i.e. DURING epoch m. Epoch E has seen
+          ``|{m in range(s, s+scheduling_epoch, k) : m <= E}|`` decays —
+          one decade AHEAD of the auto path's int((E-1-s)/k) at every
+          boundary (`train.py:77-81,107-110`; the same construction-time
+          step the pose-opt A/B pinned for its MultiStepLR).
+        """
+        if self.auto:
+            return self.lrs(epoch - 1)
+        s = self.state.scheduling_start
+        out = {}
+        for g, k in self.decay_every.items():
+            total = -(-self.scheduling_epoch // k)  # len(range(s, s+E, k))
+            hit = 0 if epoch < s else min((epoch - s) // k + 1, total)
+            out[g] = self.base_lrs[g] * self.gammas[g] ** hit
+        return out
+
     def update_plateau(self, epoch, psnr):
         """Feed the per-epoch train PSNR; may set scheduling_start
-        (`train.py:309-319`). Returns True when the phase just switched."""
+        (`train.py:309-319`). Returns True when the phase just switched.
+
+        Mirrors the reference exactly: the rewrite happens whenever
+        ``patient_count`` REACHES ``patient`` — even at an epoch past the
+        configured ``scheduling_start``, where it moves the phase switch
+        FORWARD and extends the run (the ``==`` check makes it fire at
+        most once either way)."""
         if not self.auto:
             return False
         st = self.state
@@ -161,7 +202,7 @@ class Scheduler:
                 st.metric_val_best = metric_val
             else:
                 st.patient_count += 1
-                if st.patient_count == self.patient and st.scheduling_start > epoch:
+                if st.patient_count == self.patient:
                     st.scheduling_start = epoch
                     return True
         return False

@@ -433,3 +433,155 @@ def run_reference_steps(stack, scene, *, frame_seq, ref_seq, ray_perms,
                         if hasattr(v, "numel") and v.numel() == 1})
     assert rp.calls == len(frame_seq)
     return out
+
+# ---------------------------------------------------------------------------
+# Whole-CLI execution: the reference's train.py run end-to-end (L7/L6 A/B)
+# ---------------------------------------------------------------------------
+
+_train_ns = None
+
+
+def load_reference_train():
+    """Import the reference's REAL ``dataloading`` package and its
+    ``train.py`` (by file path) so the whole training CLI — dataloader
+    factory, stack construction, epoch loop, auto-scheduler / MultiStepLR
+    scheduling, checkpoint cadence (`train.py:18-352`) — can be executed
+    as-is on CPU.
+
+    Stubs grafted first (all inert for ``depth.type: None`` configs):
+
+    * ``torchvision`` is absent in this image; the package only touches
+      ``transforms.Compose`` (`dataloading/dataloading.py:8,84`), stubbed
+      with a minimal callable-chain class;
+    * the REAL ``DPT/dpt/transforms.py`` (numpy/cv2-only) is loaded by file
+      path into the stub DPT package — ``ResizeImage_mvs`` CONSTRUCTS
+      Resize/NormalizeImage/PrepareForNet unconditionally
+      (`dataloading/dataloading.py:59,80-100`) but never calls them when
+      ``use_DPT`` is False;
+    * ``dataloading.common.imageio.imread`` gets the same
+      legacy-``ignoregamma`` shim as :func:`load_reference_dataset_module`
+      (the reference pins imageio<2.16, `environment.yaml:20`).
+
+    Returns (train_module, dataloading_module).
+    """
+    global _train_ns
+    if _train_ns is not None:
+        return _train_ns
+    import importlib.util
+
+    load_reference()
+
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tvt = types.ModuleType("torchvision.transforms")
+
+        class Compose:
+            def __init__(self, fns):
+                self.fns = list(fns)
+
+            def __call__(self, x):
+                for f in self.fns:
+                    x = f(x)
+                return x
+
+        tvt.Compose = Compose
+        tv.transforms = tvt
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.transforms"] = tvt
+
+    dpt_sub = sys.modules["DPT.dpt"]
+    if not hasattr(dpt_sub, "transforms"):
+        tpath = os.path.join(REFERENCE_DIR, "DPT", "dpt", "transforms.py")
+        tspec = importlib.util.spec_from_file_location(
+            "DPT.dpt.transforms", tpath)
+        tmod = importlib.util.module_from_spec(tspec)
+        tspec.loader.exec_module(tmod)
+        dpt_sub.transforms = tmod
+        sys.modules["DPT.dpt.transforms"] = tmod
+
+    import dataloading as dl
+    import dataloading.common as dcommon
+
+    if not getattr(dcommon, "_ignoregamma_shimmed", False):
+        real_imread = dcommon.imageio.imread
+
+        def _imread(f, **kw):
+            kw.pop("ignoregamma", None)
+            return real_imread(f, **kw)
+
+        dcommon.imageio = types.SimpleNamespace(imread=_imread)
+        dcommon._ignoregamma_shimmed = True
+
+    tpath = os.path.join(REFERENCE_DIR, "train.py")
+    tspec = importlib.util.spec_from_file_location("ref_train_cli", tpath)
+    train_mod = importlib.util.module_from_spec(tspec)
+    tspec.loader.exec_module(train_mod)
+
+    _train_ns = (train_mod, dl)
+    return _train_ns
+
+
+class ScalarRecorder:
+    """``SummaryWriter`` stand-in: records every ``add_scalar`` call as
+    ``tags[tag] = [(step, value), ...]`` (train.py only calls add_scalar)."""
+
+    def __init__(self, *a, **k):
+        self.tags = {}
+
+    def add_scalar(self, tag, value, step):
+        self.tags.setdefault(tag, []).append((int(step), float(value)))
+
+    def close(self):
+        pass
+
+
+def run_reference_train_cli(cfg):
+    """Execute the reference's ``train(cfg)`` (`train.py:18-352`) to
+    completion and return its observable behavior:
+
+    * ``scalars`` — every tensorboard scalar it would have logged
+      (train/psnr, train/lr*, eval/ate_trans, ...), via a SummaryWriter
+      stand-in;
+    * ``steps`` — one record per REAL ``Trainer.train_step`` call with the
+      epoch, iteration, the ``scheduling_start`` the loop passed in, and the
+      four optimizers' APPLIED learning rates at that step (read from the
+      live ``param_groups`` — immune to torch's get_lr()-inside-step quirks).
+
+    The caller's cfg must route ``training.out_dir`` somewhere writable and
+    keep ``visualize_every``/``validate_every`` negative (render_visdata /
+    evaluate need plotting deps this harness does not shim).
+    """
+    train_mod, _ = load_reference_train()
+    ref = load_reference()
+
+    rec = ScalarRecorder()
+    steps = []
+    orig_step = ref.training.Trainer.train_step
+
+    def _lr(opt):
+        return float(opt.param_groups[0]["lr"]) if opt is not None else None
+
+    def spy_step(self, data, it=None, epoch=None, scheduling_start=None,
+                 render_path=None):
+        steps.append({
+            "it": int(it),
+            "epoch": int(epoch),
+            "scheduling_start": int(scheduling_start),
+            "lr_nerf": _lr(self.optimizer),
+            "lr_pose": _lr(self.optimizer_pose),
+            "lr_focal": _lr(self.optimizer_focal),
+            "lr_distortion": _lr(self.optimizer_distortion),
+        })
+        return orig_step(self, data, it=it, epoch=epoch,
+                         scheduling_start=scheduling_start,
+                         render_path=render_path)
+
+    orig_writer = train_mod.SummaryWriter
+    ref.training.Trainer.train_step = spy_step
+    train_mod.SummaryWriter = lambda *a, **k: rec
+    try:
+        train_mod.train(cfg)
+    finally:
+        ref.training.Trainer.train_step = orig_step
+        train_mod.SummaryWriter = orig_writer
+    return types.SimpleNamespace(scalars=rec.tags, steps=steps)
