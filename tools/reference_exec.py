@@ -521,6 +521,173 @@ def load_reference_train():
     return _train_ns
 
 
+_lpips_dicts = {}
+
+
+def set_lpips_synth(vgg_sd, lin_sd):
+    """Register state dicts (torchvision ``vgg16.features`` layout + lpips
+    ``lin{i}.model.1.weight`` heads) for the ``lpips`` stub below.  The pip
+    package is absent in this image, so executed-A/B tests synthesize the
+    weights (tests/test_lpips_convert.py layout) and register them here;
+    the SAME dicts flow through tools/convert_lpips.py to our JAX port."""
+    _lpips_dicts["vgg"] = vgg_sd
+    _lpips_dicts["lin"] = lin_sd
+
+
+def _install_lpips_stub():
+    """Graft a ``lpips`` module exposing the one surface the reference
+    uses: ``lpips.LPIPS(net='vgg')`` called as ``fn(img0_nchw, img1_nchw,
+    normalize=True)`` (`evaluation/eval.py:17,157`,
+    `model/eval_images.py:95-97`).  Forward mirrors the pip package's
+    net='vgg' semantics — ScalingLayer shift/scale, unit-normalised conv
+    taps, squared diffs, non-negative 1x1 heads, spatial average, tap sum
+    — with the eps-inside-sqrt normalisation convention shared by our JAX
+    port (`nope_nerf_tpu/models/lpips.py:82-83`) and the independent torch
+    mirror in tests/test_lpips_convert.py."""
+    if "lpips" in sys.modules:
+        return
+    ref = load_reference()
+    torch = ref.torch
+    import torch.nn.functional as F
+
+    class LPIPS(torch.nn.Module):
+        def __init__(self, net="vgg", **kw):
+            super().__init__()
+            assert net == "vgg", "stub implements the reference's net='vgg'"
+            if "vgg" not in _lpips_dicts:
+                raise RuntimeError(
+                    "lpips is stubbed for reference execution; call "
+                    "reference_exec.set_lpips_synth(vgg_sd, lin_sd) first")
+            vgg_sd, lin_sd = _lpips_dicts["vgg"], _lpips_dicts["lin"]
+            idx = sorted(int(k.split(".")[0]) for k in vgg_sd
+                         if k.endswith(".weight"))
+            self._convs = [
+                (torch.from_numpy(np.asarray(vgg_sd[f"{i}.weight"])),
+                 torch.from_numpy(np.asarray(vgg_sd[f"{i}.bias"])))
+                for i in idx
+            ]
+            self._lins = [
+                torch.from_numpy(
+                    np.maximum(np.asarray(lin_sd[f"lin{i}.model.1.weight"]),
+                               0.0))
+                for i in range(5)
+            ]
+            self._shift = torch.tensor([-0.030, -0.088, -0.188]).view(
+                1, 3, 1, 1)
+            self._scale = torch.tensor([0.458, 0.448, 0.450]).view(
+                1, 3, 1, 1)
+
+        def _feats(self, x):
+            x = (x - self._shift) / self._scale
+            taps, ci = [], 0
+            for bi, n in enumerate((2, 2, 3, 3, 3)):
+                for _ in range(n):
+                    w, b = self._convs[ci]
+                    x = F.relu(F.conv2d(x, w, b, padding=1))
+                    ci += 1
+                taps.append(x)
+                if bi < 4:
+                    x = F.max_pool2d(x, 2)
+            return taps
+
+        def forward(self, in0, in1, normalize=False):
+            if normalize:  # [0,1] -> [-1,1], the lpips package's knob
+                in0 = 2.0 * in0 - 1.0
+                in1 = 2.0 * in1 - 1.0
+            total = 0.0
+            for i, (a, b) in enumerate(zip(self._feats(in0),
+                                           self._feats(in1))):
+                n0 = a / torch.sqrt((a**2).sum(1, keepdim=True) + 1e-10)
+                n1 = b / torch.sqrt((b**2).sum(1, keepdim=True) + 1e-10)
+                total = total + F.conv2d((n0 - n1) ** 2,
+                                         self._lins[i]).mean(
+                    dim=(1, 2, 3), keepdim=True)
+            return total  # (N,1,1,1), .item()-able at N=1 like the package
+
+    mod = types.ModuleType("lpips")
+    mod.LPIPS = LPIPS
+    sys.modules["lpips"] = mod
+
+
+_eval_mod = None
+
+
+def load_reference_eval():
+    """Load the reference's ``evaluation/eval.py`` by file path (the name
+    ``evaluation`` belongs to OUR CLI package at the repo root) with the
+    train-CLI graft set (real ``dataloading`` package, torchvision/DPT/
+    imageio shims) plus the ``lpips`` stub, so the whole image-evaluation
+    CLI (`evaluation/eval.py:23-209`) can be executed as-is on CPU."""
+    global _eval_mod
+    if _eval_mod is not None:
+        return _eval_mod
+    import importlib.util
+
+    load_reference_train()
+    _install_lpips_stub()
+    # skimage is absent in this environment and UNUSED inside
+    # `model/eval_images.py` (imported at line 11, never referenced)
+    if "skimage" not in sys.modules:
+        sk = types.ModuleType("skimage")
+        sk.metrics = types.ModuleType("skimage.metrics")
+        sys.modules["skimage"] = sk
+        sys.modules["skimage.metrics"] = sk.metrics
+    epath = os.path.join(REFERENCE_DIR, "evaluation", "eval.py")
+    espec = importlib.util.spec_from_file_location("ref_eval_cli", epath)
+    emod = importlib.util.module_from_spec(espec)
+    espec.loader.exec_module(emod)
+    _eval_mod = emod
+    return emod
+
+
+def run_reference_eval_cli(cfg):
+    """Execute the reference's ``eval(cfg)`` end-to-end and return its
+    observable behavior:
+
+    * ``images`` — the full-precision per-image dict from every REAL
+      ``Eval_Images.eval_images`` call (mse/psnr/ssim/lpips, the uint8
+      artifacts, the masked depth arrays);
+    * ``scalars`` — tensorboard scalars (``opt/psnr`` per pose-opt epoch);
+    * ``videos`` — ``(path, frames, kwargs)`` captured from its
+      ``imageio.mimwrite`` call (imageio-ffmpeg is absent in this image;
+      this one write is shimmed — everything upstream runs for real);
+    * ``stdout`` — the printed means, LaTeX rows and depth table.
+    """
+    emod = load_reference_eval()
+    import io as _io
+    from contextlib import redirect_stdout
+
+    import model.eval_images as ref_ei
+
+    images = []
+    orig_eval_images = ref_ei.Eval_Images.eval_images
+
+    def spy_eval_images(self, *a, **k):
+        out = orig_eval_images(self, *a, **k)
+        images.append(out)
+        return out
+
+    videos = []
+    rec = ScalarRecorder()
+    orig_writer = emod.SummaryWriter
+    orig_imageio = emod.imageio
+    ref_ei.Eval_Images.eval_images = spy_eval_images
+    emod.SummaryWriter = lambda *a, **k: rec
+    emod.imageio = types.SimpleNamespace(
+        mimwrite=lambda path, frames, **k: videos.append(
+            (path, np.asarray(frames), k)))
+    buf = _io.StringIO()
+    try:
+        with redirect_stdout(buf):
+            emod.eval(cfg)
+    finally:
+        ref_ei.Eval_Images.eval_images = orig_eval_images
+        emod.SummaryWriter = orig_writer
+        emod.imageio = orig_imageio
+    return types.SimpleNamespace(images=images, scalars=rec.tags,
+                                 videos=videos, stdout=buf.getvalue())
+
+
 class ScalarRecorder:
     """``SummaryWriter`` stand-in: records every ``add_scalar`` call as
     ``tags[tag] = [(step, value), ...]`` (train.py only calls add_scalar)."""
