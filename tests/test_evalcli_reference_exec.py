@@ -379,3 +379,29 @@ def test_video_frames_match(ref_run, my_run):
     # reference's mimwrite input is raw uint8 — compare post-codec
     assert np.abs(mine.astype(np.int32)
                   - frames.astype(np.int32)).mean() <= 3.0
+
+
+def test_eval_poses_cli_matches(ref_run, my_run):
+    """Executed A/B of the reference's `evaluation/eval_poses.py` — a
+    module-level SCRIPT run as a CLI on the run.yaml + checkpoints the
+    ref_run fixture wrote: pose-checkpoint restore, Sim(3) ATE alignment
+    of the learned train poses to the loader's c2ws, and the printed
+    ``rpe_t*100 &rpe_r_deg & ate`` LaTeX row — vs our eval_poses CLI on
+    the converted npz streams (full precision vs the reference's
+    3-decimal print)."""
+    _, _, out_ref = ref_run
+    out = rx.run_reference_eval_poses_cli(os.path.join(out_ref, "run.yaml"))
+    row = out.strip().splitlines()[-1]
+    want = [float(x) for x in row.replace("&", " ").split()]
+    assert len(want) == 3
+
+    my_cfg, _, _, _ = my_run
+    epath = os.path.join(os.path.dirname(__file__), "..", "evaluation",
+                         "eval_poses.py")
+    spec = importlib.util.spec_from_file_location("my_eval_poses_cli", epath)
+    emod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(emod)
+    got = emod.main(dict(my_cfg))
+    for k, w in zip(("rpe_trans", "rpe_rot_deg", "ate"), want):
+        # the reference prints 3 decimals; ours is full precision
+        assert got[k] == pytest.approx(w, abs=5.1e-4), (k, got, row)

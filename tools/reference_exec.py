@@ -688,6 +688,38 @@ def run_reference_eval_cli(cfg):
                                  videos=videos, stdout=buf.getvalue())
 
 
+def run_reference_eval_poses_cli(cfg_path):
+    """Execute the reference's ``evaluation/eval_poses.py`` — a
+    module-LEVEL script, not a function (`evaluation/eval_poses.py:16-79`)
+    — without ``--vis`` and return its stdout (the
+    ``rpe_t*100 &rpe_r_deg & ate`` LaTeX row).
+
+    The script parses ``sys.argv`` and resolves ``configs/default.yaml``
+    relative to the cwd at import time, so both are swapped for the exec;
+    its open3d import is already guarded upstream
+    (`utils_poses/vis_cam_traj.py:5-8`)."""
+    import importlib.util
+    import io as _io
+    from contextlib import redirect_stdout
+
+    load_reference_train()
+    old_argv, old_cwd = sys.argv, os.getcwd()
+    sys.argv = ["eval_poses.py", cfg_path]
+    os.chdir(REFERENCE_DIR)
+    buf = _io.StringIO()
+    try:
+        ppath = os.path.join(REFERENCE_DIR, "evaluation", "eval_poses.py")
+        pspec = importlib.util.spec_from_file_location(
+            "ref_eval_poses_cli", ppath)
+        pmod = importlib.util.module_from_spec(pspec)
+        with redirect_stdout(buf):
+            pspec.loader.exec_module(pmod)
+    finally:
+        sys.argv = old_argv
+        os.chdir(old_cwd)
+    return buf.getvalue()
+
+
 class ScalarRecorder:
     """``SummaryWriter`` stand-in: records every ``add_scalar`` call as
     ``tags[tag] = [(step, value), ...]`` (train.py only calls add_scalar)."""
