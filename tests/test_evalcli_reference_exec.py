@@ -131,6 +131,9 @@ def _overrides(disk_scene, out_dir, lpips_npz, eval_depth=False):
             # docstring) — the ref fixture runs False, ours runs True
             "eval_depth": eval_depth,
             "lpips_weights": lpips_npz,
+            # consumed by the render CLI A/B (ignored by eval.py)
+            "traj_option": "interp",
+            "N_novel_imgs": 6,
         },
     }
 
@@ -405,3 +408,60 @@ def test_eval_poses_cli_matches(ref_run, my_run):
     for k, w in zip(("rpe_trans", "rpe_rot_deg", "ate"), want):
         # the reference prints 3 decimals; ours is full precision
         assert got[k] == pytest.approx(w, abs=5.1e-4), (k, got, row)
+
+
+def test_render_cli_matches(ref_run, my_run):
+    """Executed A/B of the reference's `vis/render.py` script run as a
+    real CLI (argv + cwd-relative default.yaml) on the shared run.yaml and
+    checkpoints: checkpoint restore, the mode='render' dataloader (train
+    split), the 'interp' trajectory dispatch, the per-frame
+    `Extract_Images.generate_images` artifact tree, and the img/depth
+    video stacks — vs our vis/render.py CLI on the converted streams."""
+    import imageio.v2 as imageio
+
+    _, _, out_ref = ref_run
+    my_cfg, _, _, out_my = my_run
+    res = rx.run_reference_render_cli(os.path.join(out_ref, "run.yaml"))
+
+    rpath = os.path.join(os.path.dirname(__file__), "..", "vis", "render.py")
+    spec = importlib.util.spec_from_file_location("my_render_cli", rpath)
+    rmod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rmod)
+    rmod.main(dict(my_cfg))
+
+    dref = os.path.join(out_ref, "extraction", "extracted_images", "interp")
+    dmy = os.path.join(out_my, "extraction", "extracted_images", "interp")
+
+    # per-frame artifact tree (raw-depth npys are pinned per-frame by
+    # test_extract_reference_exec; here: the uint8 pngs the CLI leaves)
+    for sub in ("img_out", "depth_out"):
+        ref_names = sorted(f for f in os.listdir(os.path.join(dref, sub))
+                           if f.endswith(".png"))
+        my_names = sorted(f for f in os.listdir(os.path.join(dmy, sub))
+                          if f.endswith(".png"))
+        assert ref_names == my_names and len(ref_names) == 6, sub
+        for n in ref_names:
+            a = np.asarray(imageio.imread(
+                os.path.join(dref, sub, n))).astype(np.int32)
+            b = np.asarray(imageio.imread(
+                os.path.join(dmy, sub, n))).astype(np.int32)
+            assert a.shape == b.shape, (sub, n)
+            assert np.abs(a - b).max() <= 1, (sub, n)
+
+    # video stacks: the reference's two mimwrite calls vs our MJPEG mp4s
+    from nope_nerf_tpu.utils.mp4 import read_mjpeg_mp4
+
+    assert [os.path.basename(p) for p, _, _ in res.videos] == [
+        "img.mp4", "depth.mp4"]
+    for (path, frames, kw), name in zip(res.videos, ("img", "depth")):
+        assert kw.get("fps") == 30
+        assert frames.shape[0] == 6
+        mine, fps = read_mjpeg_mp4(
+            os.path.join(dmy, "video_out", f"{name}.mp4"))
+        assert fps == pytest.approx(30, abs=0.5)
+        assert mine.shape[:3] == frames.shape[:3]
+        a = mine.astype(np.int32)
+        b = frames.astype(np.int32)
+        if b.ndim == 3:  # grayscale depth stack: ours stores rgb jpeg
+            a = a.mean(-1)
+        assert np.abs(a - b).mean() <= 3.0, name

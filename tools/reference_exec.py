@@ -688,6 +688,44 @@ def run_reference_eval_cli(cfg):
                                  videos=videos, stdout=buf.getvalue())
 
 
+def run_reference_render_cli(cfg_path):
+    """Execute the reference's ``vis/render.py`` — a module-level script
+    (`vis/render.py:16-118`) — end-to-end and return
+    ``namespace(videos, stdout)`` where ``videos`` collects every
+    ``imageio.mimwrite`` call as ``(path, frames, kwargs)`` (ffmpeg is
+    absent; the two video writes are the only shim — the checkpoint
+    restore, render-mode dataloader, trajectory dispatch and per-frame
+    ``Extract_Images.generate_images`` artifact writes all run for
+    real)."""
+    import importlib.util
+    import io as _io
+    from contextlib import redirect_stdout
+
+    import imageio
+
+    load_reference_train()
+    videos = []
+    old_argv, old_cwd = sys.argv, os.getcwd()
+    orig_mimwrite = imageio.mimwrite
+    sys.argv = ["render.py", cfg_path]
+    os.chdir(REFERENCE_DIR)
+    imageio.mimwrite = lambda path, frames, **k: videos.append(
+        (path, np.asarray(frames), k))
+    buf = _io.StringIO()
+    try:
+        rpath = os.path.join(REFERENCE_DIR, "vis", "render.py")
+        rspec = importlib.util.spec_from_file_location(
+            "ref_render_cli", rpath)
+        rmod = importlib.util.module_from_spec(rspec)
+        with redirect_stdout(buf):
+            rspec.loader.exec_module(rmod)
+    finally:
+        sys.argv = old_argv
+        os.chdir(old_cwd)
+        imageio.mimwrite = orig_mimwrite
+    return types.SimpleNamespace(videos=videos, stdout=buf.getvalue())
+
+
 def run_reference_eval_poses_cli(cfg_path):
     """Execute the reference's ``evaluation/eval_poses.py`` — a
     module-LEVEL script, not a function (`evaluation/eval_poses.py:16-79`)
