@@ -438,6 +438,85 @@ def run_reference_steps(stack, scene, *, frame_seq, ref_seq, ray_perms,
 # Whole-CLI execution: the reference's train.py run end-to-end (L7/L6 A/B)
 # ---------------------------------------------------------------------------
 
+def _install_torchvision_stub():
+    """torchvision is absent in this image; the reference only touches
+    ``transforms.Compose`` (`dataloading/dataloading.py:8,84`,
+    `DPT/dpt/models.py:9`) — a minimal callable-chain class."""
+    if "torchvision" in sys.modules:
+        return
+
+    tv = types.ModuleType("torchvision")
+    tvt = types.ModuleType("torchvision.transforms")
+
+    class Compose:
+        def __init__(self, fns):
+            self.fns = list(fns)
+
+        def __call__(self, x):
+            for f in self.fns:
+                x = f(x)
+            return x
+
+    tvt.Compose = Compose
+    tv.transforms = tvt
+    sys.modules["torchvision"] = tv
+    sys.modules["torchvision.transforms"] = tvt
+
+
+_dpt_ns = None
+
+
+def load_reference_dpt():
+    """Import the reference's REAL DPT package so its ViT-hybrid depth net
+    (`DPT/dpt/models.py:93-212`, `vit.py:103-377`, `blocks.py`) can be
+    EXECUTED on CPU — the one reference surface every prior round could only
+    transcribe (timm is not installed).
+
+    ``tools/timm_stub.py`` supplies an executable from-scratch
+    ``timm.create_model('vit_base_resnet50_384')`` with timm's module tree
+    and semantics; the real ``DPT/dpt`` package is then loaded by file path
+    (the reference has no ``DPT/__init__.py``) and REPLACES the inert raiser
+    stub :func:`load_reference` grafts for the non-DPT parity tests.
+
+    Returns the executed ``DPT.dpt.models`` module (``DPTDepthModel`` etc.).
+    """
+    global _dpt_ns
+    if _dpt_ns is not None:
+        return _dpt_ns
+    import importlib.util
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    try:
+        import timm_stub
+    finally:
+        sys.path.pop(0)
+    timm_stub.install()
+
+    load_reference()  # CPU shims (+ the raiser stub, replaced below)
+    _install_torchvision_stub()
+
+    sub_dir = os.path.join(REFERENCE_DIR, "DPT", "dpt")
+    pkg = types.ModuleType("DPT")
+    pkg.__path__ = [os.path.join(REFERENCE_DIR, "DPT")]
+    spec = importlib.util.spec_from_file_location(
+        "DPT.dpt", os.path.join(sub_dir, "__init__.py"),
+        submodule_search_locations=[sub_dir])
+    sub = importlib.util.module_from_spec(spec)
+    # graft BEFORE exec so the submodules' relative imports resolve
+    for k in ("DPT", "DPT.dpt", "DPT.dpt.models", "DPT.dpt.vit",
+              "DPT.dpt.blocks", "DPT.dpt.base_model", "DPT.dpt.transforms"):
+        sys.modules.pop(k, None)
+    sys.modules["DPT"] = pkg
+    sys.modules["DPT.dpt"] = sub
+    pkg.dpt = sub
+    spec.loader.exec_module(sub)
+
+    import DPT.dpt.models as dpt_models
+
+    _dpt_ns = dpt_models
+    return _dpt_ns
+
+
 _train_ns = None
 
 
@@ -470,24 +549,7 @@ def load_reference_train():
     import importlib.util
 
     load_reference()
-
-    if "torchvision" not in sys.modules:
-        tv = types.ModuleType("torchvision")
-        tvt = types.ModuleType("torchvision.transforms")
-
-        class Compose:
-            def __init__(self, fns):
-                self.fns = list(fns)
-
-            def __call__(self, x):
-                for f in self.fns:
-                    x = f(x)
-                return x
-
-        tvt.Compose = Compose
-        tv.transforms = tvt
-        sys.modules["torchvision"] = tv
-        sys.modules["torchvision.transforms"] = tvt
+    _install_torchvision_stub()
 
     dpt_sub = sys.modules["DPT.dpt"]
     if not hasattr(dpt_sub, "transforms"):
