@@ -459,17 +459,26 @@ def apply_dpt_batched(params, imgs, mesh=None, **kw):
 
 
 def dpt_input_transform(img, target=384, multiple_of=32):
-    """Keep-aspect 'minimal' resize to >= target on the short side rounded to
-    a multiple of 32, then (x - 0.5)/0.5 normalisation
-    (`dataloading/dataloading.py:80-100`, `DPT/dpt/transforms.py:48-230`).
+    """The reference's ``ResizeImage_mvs``: keep-aspect 'minimal' resize
+    toward a 384x384 target rounded to multiples of 32 (INTER_CUBIC), then
+    (x - 0.5)/0.5 normalisation (`dataloading/dataloading.py:80-100`,
+    `DPT/dpt/transforms.py:103-158,195-216`).
+
+    'minimal' means "scale as little as possible": of the two per-axis
+    scales it keeps the one CLOSEST TO 1 (`transforms.py:125-132`) — the
+    smaller (min) one when upscaling, but the LARGER one when the image is
+    bigger than 384 (e.g. 540x960 -> fit height -> 384x672, not 224x384).
+    Pinned against the executed reference in
+    `tests/test_preprocess_reference_exec.py`.
 
     img: (H, W, 3) float numpy in [0, 1]. Returns (h', w', 3) numpy.
     """
     import cv2
 
     H, W = img.shape[:2]
-    scale = min(target / H, target / W)  # 'minimal': scale as little as
-    # possible while satisfying the multiple-of constraint at ~384
+    scale_h, scale_w = target / H, target / W
+    scale = scale_w if abs(1 - scale_w) < abs(1 - scale_h) else scale_h
+    # np.round (banker's) to match constrain_to_multiple_of exactly
     new_h = int(np.round(scale * H / multiple_of) * multiple_of)
     new_w = int(np.round(scale * W / multiple_of) * multiple_of)
     out = cv2.resize(img, (new_w, new_h), interpolation=cv2.INTER_CUBIC)

@@ -109,11 +109,18 @@ def main(cfg):
             depths = np.asarray(
                 fwd(jnp.asarray(np.stack(batch))))[:n_real]
             for d, name in zip(depths, names[-n_real:]):
+                # (1, H, W) 'pred' + the png normalisation exactly as the
+                # reference CLI writes them (`preprocess/dpt_depth.py:42-47`:
+                # scaled by max AFTER subtracting min, so the brightest
+                # pixel is < 255 whenever min > 0) — executed-A/B'd in
+                # tests/test_preprocess_reference_exec.py
                 np.savez(os.path.join(out_dir, f"depth_{name}.npz"),
-                         pred=d.astype(np.float32))
-                vis = (255.0 / max(d.max(), 1e-8) * d).astype(np.uint8)
+                         pred=d.astype(np.float32)[None])
+                vis = np.clip(
+                    255.0 / max(d.max(), 1e-8) * (d - d.min()), 0, 255
+                ).astype(np.uint8)
                 imageio.imwrite(
-                    os.path.join(out_dir, f"depth_{name}.png"), vis
+                    os.path.join(out_dir, f"{name}.png"), vis
                 )
                 print(f"depth_{name}.npz written")
             batch = []

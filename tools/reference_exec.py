@@ -513,6 +513,14 @@ def load_reference_dpt():
 
     import DPT.dpt.models as dpt_models
 
+    # `model/config.py:2` binds DPTDepthModel at ITS import time; if the
+    # reference `model` package was imported before this loader ran (it is —
+    # load_reference() above), rebind the raiser class to the real one so
+    # `get_model` builds an executable depth_estimator.
+    mc = sys.modules.get("model.config")
+    if mc is not None:
+        mc.DPTDepthModel = dpt_models.DPTDepthModel
+
     _dpt_ns = dpt_models
     return _dpt_ns
 
@@ -786,6 +794,33 @@ def run_reference_render_cli(cfg_path):
         os.chdir(old_cwd)
         imageio.mimwrite = orig_mimwrite
     return types.SimpleNamespace(videos=videos, stdout=buf.getvalue())
+
+
+def run_reference_preprocess_cli(cfg, depth_save_dir):
+    """Execute the reference's ``preprocess/dpt_depth.py`` CLI body — the
+    real ``dpt_depth(cfg, depth_save_dir)`` (`preprocess/dpt_depth.py:13-47`):
+    it builds the full reference stack (OfficialStaticNerf + Renderer +
+    ``get_model`` with the EXECUTED DPTDepthModel via
+    :func:`load_reference_dpt`), iterates ``get_dataloader(mode='all')``
+    with ``use_DPT`` transforms, and writes ``depth_<name>.npz`` +
+    ``<name>.png`` artifacts. Returns the list of files written."""
+    import importlib.util
+
+    load_reference_train()
+    load_reference_dpt()
+
+    old_cwd = os.getcwd()
+    os.chdir(REFERENCE_DIR)
+    try:
+        ppath = os.path.join(REFERENCE_DIR, "preprocess", "dpt_depth.py")
+        spec = importlib.util.spec_from_file_location(
+            "ref_preprocess_cli", ppath)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)  # defs only; __main__ guard inert
+        mod.dpt_depth(cfg, depth_save_dir)
+    finally:
+        os.chdir(old_cwd)
+    return sorted(os.listdir(depth_save_dir))
 
 
 def run_reference_eval_poses_cli(cfg_path):
